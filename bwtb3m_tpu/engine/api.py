@@ -1,0 +1,109 @@
+"""Top-level BWT construction — equivalent of ``BwtMergeSort::computeBwt``.
+
+The reference's entry point (/root/reference/src/bwtb3m.cpp:62-63) runs:
+block plan -> per-block divsufsort -> balanced gap-array merge tree ->
+.bwt/.hist/.meta/.preisa (+ .sa/.isa when bwtonly=0). This rebuild replaces
+phases 2-3 with the on-device circular prefix-doubling sorter
+(``ops/doubling.py``); the blockwise gap-merge engine for texts beyond a
+single device's HBM lives in ``engine/merge.py``. Phase structure and the
+emitted file set match the reference (README "Output").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from ..io import formats
+from ..io.inputtypes import parse_input_type
+from ..io.rl import rl_encode
+from ..ops.doubling import suffix_array
+from ..util.log import RealTimeClock, VerboseLog, mem_usage_string
+from .options import BwtOptions
+from .result import BwtResult
+
+
+def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtResult:
+    log = log or VerboseLog(options.verbose)
+    rtc = RealTimeClock()
+
+    # ---- phase 1: load input + plan ------------------------------------
+    itype = parse_input_type(options.input_type)
+    with log.span("load input (%s)" % itype.name):
+        symbols, sigma = itype.load(options.input_path)
+    n = int(len(symbols))
+    if n == 0:
+        raise ValueError("empty input text: %s" % options.input_path)
+    log.v("n=%d sigma=%d" % (n, sigma))
+
+    # ---- phase 2+3: suffix sort (device) -------------------------------
+    if n <= options.max_block_symbols:
+        with log.span("device suffix sort (single block, prefix doubling)"):
+            sa, isa, bwt = suffix_array(symbols, sigma)
+    else:
+        from .merge import blockwise_bwt  # deferred import, heavier path
+        with log.span("device suffix sort (blockwise merge)"):
+            sa, isa, bwt = blockwise_bwt(symbols, sigma, options, log)
+
+    # ---- phase 4: outputs ----------------------------------------------
+    base = options.base_name
+    files = {}
+    with log.span("write .bwt (RLB1)"):
+        rl_encode(options.output_filename, bwt, sigma=sigma)
+        files["bwt"] = options.output_filename
+
+    hist = np.bincount(bwt, minlength=sigma).astype(np.int64)
+    formats.write_hist(base + ".hist", formats.hist_from_array(hist))
+    files["hist"] = base + ".hist"
+
+    prate = max(1, min(options.preisa_sampling_rate, n))
+    ppos = np.arange(0, n, prate, dtype=np.int64)
+    formats.write_preisa(base + ".preisa", isa[ppos], ppos, prate)
+    files["preisa"] = base + ".preisa"
+
+    # ---- phase 5: sampled SA/ISA (bwtonly=0 path) ----------------------
+    if not options.bwt_only:
+        srate = max(1, options.sa_sampling_rate)
+        formats.write_sampled_array(base + ".sa", srate, sa[::srate])
+        files["sa"] = base + ".sa"
+        irate = max(1, options.isa_sampling_rate)
+        formats.write_sampled_array(base + ".isa", irate, isa[::irate])
+        files["isa"] = base + ".isa"
+
+    meta = {
+        "format": "bwtb3m_tpu/v1",
+        "n": n,
+        "sigma": sigma,
+        "input": os.path.abspath(options.input_path),
+        "inputtype": itype.name,
+        "bwtonly": bool(options.bwt_only),
+        "sasamplingrate": options.sa_sampling_rate,
+        "isasamplingrate": options.isa_sampling_rate,
+        "preisasamplingrate": prate,
+        "files": files,
+    }
+    formats.write_meta(base + ".meta", meta)
+
+    log.v("%s runtime %.3fs" % (mem_usage_string(), rtc.elapsed()))
+    return BwtResult(meta)
+
+
+def main_bwtb3m(argv) -> int:
+    """CLI driver matching /root/reference/src/bwtb3m.cpp:25-66."""
+    from ..util.args import ArgInfo
+
+    ai = ArgInfo(argv, progname="bwtb3m")
+    if not ai.restargs:
+        sys.stderr.write(
+            "usage: bwtb3m inputtype=<bytestream|compactstream|pac|pacterm|"
+            "lz4|utf-8> [outputfilename=..] [sasamplingrate=32] "
+            "[isasamplingrate=262144] [mem=2G] [numthreads=8] [bwtonly=0] "
+            "[tmpprefix=..] [verbose=1] <input>\n"
+        )
+        return 1
+    options = BwtOptions.from_arginfo(ai)
+    compute_bwt(options)
+    return 0

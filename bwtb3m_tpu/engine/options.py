@@ -1,0 +1,71 @@
+"""Construction options — equivalent of ``BwtMergeSortOptions``.
+
+The reference's option surface (/root/reference/src/bwtb3m.cpp:43-56 and
+README options block): inputtype, outputfilename, sasamplingrate=32,
+isasamplingrate=262144, mem=2G, numthreads=8, bwtonly=0/1, tmpprefix,
+sparsetmpprefix, copyinputtomemory, largelcpthres=16384, verbose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+from ..util.args import ArgInfo
+
+
+@dataclasses.dataclass
+class BwtOptions:
+    input_path: str
+    input_type: str = "bytestream"
+    output_filename: Optional[str] = None
+    sa_sampling_rate: int = 32            # bwtb3m.cpp:45 default
+    isa_sampling_rate: int = 262144       # bwtb3m.cpp:46 default
+    mem: int = 2 * 1024 ** 3              # bwtb3m.cpp:47 default 2GiB
+    num_threads: int = 8                  # bwtb3m.cpp:49 default (host advisory)
+    bwt_only: bool = False                # bwtb3m.cpp bwtonly=0/1
+    tmp_prefix: Optional[str] = None
+    sparse_tmp_prefix: Optional[str] = None
+    copy_input_to_memory: bool = False
+    large_lcp_thres: int = 16384          # bwtb3m.cpp:55 default
+    verbose: int = 1
+    # TPU-specific knobs (no reference analog):
+    max_block_symbols: int = 1 << 27      # per-device doubling block budget
+    preisa_sampling_rate: Optional[int] = None  # defaults to isa_sampling_rate
+
+    def __post_init__(self):
+        if self.output_filename is None:
+            self.output_filename = self.input_path + ".bwt"
+        if self.tmp_prefix is None:
+            self.tmp_prefix = self.output_filename + "_tmp"
+        if self.sparse_tmp_prefix is None:
+            self.sparse_tmp_prefix = self.tmp_prefix + "_sparse"
+        if self.preisa_sampling_rate is None:
+            self.preisa_sampling_rate = self.isa_sampling_rate
+
+    @property
+    def base_name(self) -> str:
+        """Output base: 'x.bwt' -> 'x' so sidecars are x.hist, x.preisa..."""
+        out = self.output_filename
+        return out[:-4] if out.endswith(".bwt") else out
+
+    @classmethod
+    def from_arginfo(cls, ai: ArgInfo) -> "BwtOptions":
+        if not ai.restargs:
+            raise ValueError("no input file given")
+        return cls(
+            input_path=ai.restargs[0],
+            input_type=ai.get("inputtype", "bytestream"),
+            output_filename=ai.get("outputfilename") or None,
+            sa_sampling_rate=ai.get_int("sasamplingrate", 32),
+            isa_sampling_rate=ai.get_int("isasamplingrate", 262144),
+            mem=ai.get_int("mem", 2 * 1024 ** 3),
+            num_threads=ai.get_int("numthreads", 8),
+            bwt_only=ai.get_bool("bwtonly", False),
+            tmp_prefix=ai.get("tmpprefix") or None,
+            sparse_tmp_prefix=ai.get("sparsetmpprefix") or None,
+            copy_input_to_memory=ai.get_bool("copyinputtomemory", False),
+            large_lcp_thres=ai.get_int("largelcpthres", 16384),
+            verbose=ai.get_int("verbose", 1),
+        )

@@ -1,0 +1,84 @@
+"""Construction result manifest — equivalent of ``BwtMergeSortResult``.
+
+The reference returns a manifest naming the produced files and offers
+``loadLF`` to build the rank/LF structure from them
+(/root/reference/src/checkbwt.cpp:39-53,165). Here the manifest is the JSON
+``.meta`` file plus this class, and ``load_occ`` builds the device occ table.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..io import formats
+from ..io.rl import RLReader
+from ..ops.rank import OccTable, build_occ
+
+
+class BwtResult:
+    def __init__(self, meta: dict):
+        self.meta = meta
+
+    @classmethod
+    def load(cls, bwt_path: str) -> "BwtResult":
+        base = bwt_path[:-4] if bwt_path.endswith(".bwt") else bwt_path
+        return cls(formats.read_meta(base + ".meta"))
+
+    # ---- file accessors -------------------------------------------------
+    @property
+    def bwt_path(self) -> str:
+        return self.meta["files"]["bwt"]
+
+    @property
+    def hist_path(self) -> str:
+        return self.meta["files"]["hist"]
+
+    @property
+    def preisa_path(self) -> str:
+        return self.meta["files"]["preisa"]
+
+    @property
+    def sa_path(self) -> Optional[str]:
+        return self.meta["files"].get("sa")
+
+    @property
+    def isa_path(self) -> Optional[str]:
+        return self.meta["files"].get("isa")
+
+    @property
+    def n(self) -> int:
+        return self.meta["n"]
+
+    @property
+    def sigma(self) -> int:
+        return self.meta["sigma"]
+
+    # ---- loading --------------------------------------------------------
+    def load_bwt(self) -> np.ndarray:
+        with RLReader(self.bwt_path) as r:
+            return r.decode_all()
+
+    def load_occ(self, dense: bool = True):
+        """Build the device occ/rank structure from .bwt (reference
+        ``res.loadLF`` role). Returns (OccTable, symbol_map or None):
+        when ``dense`` and the alphabet is sparse, symbols are densified
+        and ``symbol_map[dense_id] = original symbol``."""
+        bwt = self.load_bwt()
+        sigma = self.sigma
+        symmap = None
+        if dense:
+            present = np.unique(bwt)
+            if len(present) < sigma or (len(present) and present[-1] >= len(present)):
+                remap = np.zeros(max(sigma, int(present[-1]) + 1), dtype=np.int32)
+                remap[present] = np.arange(len(present), dtype=np.int32)
+                bwt = remap[bwt]
+                sigma = len(present)
+                symmap = present.astype(np.int64)
+        occt = build_occ(bwt, sigma)
+        return occt, symmap
+
+    def load_preisa(self):
+        return formats.read_preisa(self.preisa_path)

@@ -1,0 +1,163 @@
+"""Sampled SA/ISA from .bwt + .preisa — equivalent of ``BwtComputeSSA``.
+
+The reference tool bwtcomputessa (/root/reference/src/bwtcomputessa.cpp:51)
+computes sampled SA and ISA in external memory from the run-length BWT and
+the preisa rank/position seeds, without re-sorting. TPU redesign: the seeds
+become lanes of one batched LF walk — every lane steps simultaneously
+(one batched rank query per step), harvesting
+``SA[r] = p`` whenever ``r % sarate == 0`` and ``ISA[p] = r`` whenever
+``p % isarate == 0`` via masked scatters. The external-memory radix-sort
+passes of the reference become HBM-resident scatters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..io import formats
+from ..ops.lf import lf_step_batch
+from ..ops.rank import OccTable
+from ..util.log import VerboseLog
+from .result import BwtResult
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _harvest_walk(occt: OccTable, r0: jnp.ndarray, p0: jnp.ndarray,
+                  lens: jnp.ndarray, steps: int, n: int,
+                  sarate: int, isarate: int):
+    n_sa = (n + sarate - 1) // sarate
+    n_isa = (n + isarate - 1) // isarate
+    sa_out = jnp.full((n_sa,), -1, jnp.int32)
+    isa_out = jnp.full((n_isa,), -1, jnp.int32)
+
+    def body(j, carry):
+        r, p, sa_out, isa_out = carry
+        active = j < lens
+        # record current (r, p) state
+        sa_idx = jnp.where(
+            jnp.logical_and(active, r % sarate == 0), r // sarate, n_sa
+        )
+        sa_out = sa_out.at[sa_idx].set(p, mode="drop")
+        isa_idx = jnp.where(
+            jnp.logical_and(active, p % isarate == 0), p // isarate, n_isa
+        )
+        isa_out = isa_out.at[isa_idx].set(r, mode="drop")
+        # step backwards
+        _sym, r2 = lf_step_batch(occt, r)
+        pprev = jnp.where(p == 0, n - 1, p - 1)
+        r = jnp.where(active, r2, r)
+        p = jnp.where(active, pprev, p)
+        return (r, p, sa_out, isa_out)
+
+    _r, _p, sa_out, isa_out = lax.fori_loop(
+        0, steps, body, (r0, p0, sa_out, isa_out)
+    )
+    return sa_out, isa_out
+
+
+def _seed_segments(ranks: np.ndarray, positions: np.ndarray, n: int):
+    order = np.argsort(positions)
+    positions = positions[order]
+    ranks = ranks[order]
+    if len(positions) == 0 or positions[0] != 0:
+        raise ValueError("preisa must contain a sample at position 0")
+    seg_len = np.empty(len(positions), dtype=np.int64)
+    if len(positions) == 1:
+        seg_len[0] = n
+    else:
+        seg_len[0] = (positions[0] - positions[-1]) % n
+        seg_len[1:] = positions[1:] - positions[:-1]
+    assert seg_len.sum() == n
+    return ranks, positions, seg_len
+
+
+def compute_ssa(
+    bwt_path: str,
+    sa_sampling_rate: int = 32,
+    isa_sampling_rate: int = 32,
+    tmp_prefix: Optional[str] = None,
+    copy_input_to_memory: bool = False,
+    num_threads: int = 8,
+    max_sort_mem: int = 2 * 1024 ** 3,
+    max_tmp_files: int = 1024,
+    log: Optional[VerboseLog] = None,
+    ref_isa: Optional[str] = None,
+    ref_sa: Optional[str] = None,
+) -> Tuple[str, str]:
+    """Produce ``<base>.sa`` and ``<base>.isa`` from ``<base>.bwt`` +
+    ``<base>.preisa``. Signature mirrors ``BwtComputeSSA::computeSSA``
+    (/root/reference/src/bwtcomputessa.cpp:51); the sort-memory / tmp-file
+    arguments are accepted for CLI parity (the TPU path is HBM-resident).
+    Optional ref_isa/ref_sa files are compared against, as in the
+    reference's checking hooks (bwtcomputessa.cpp:48-49)."""
+    log = log or VerboseLog(1)
+    result = BwtResult.load(bwt_path)
+    n = result.n
+    occt, _symmap = result.load_occ(dense=True)
+    ranks, positions, _rate = result.load_preisa()
+    ranks, positions, seg_len = _seed_segments(ranks, positions, n)
+
+    steps = int(seg_len.max())
+    sa_out, isa_out = _harvest_walk(
+        occt,
+        jnp.asarray(ranks.astype(np.int32)),
+        jnp.asarray(positions.astype(np.int32)),
+        jnp.asarray(seg_len.astype(np.int32)),
+        steps, n, int(sa_sampling_rate), int(isa_sampling_rate),
+    )
+    sa_vals = np.asarray(sa_out, dtype=np.int64)
+    isa_vals = np.asarray(isa_out, dtype=np.int64)
+    if (sa_vals < 0).any() or (isa_vals < 0).any():
+        raise AssertionError("LF walk failed to visit every sampled rank/position")
+
+    base = bwt_path[:-4] if bwt_path.endswith(".bwt") else bwt_path
+    sa_path, isa_path = base + ".sa", base + ".isa"
+    formats.write_sampled_array(sa_path, sa_sampling_rate, sa_vals)
+    formats.write_sampled_array(isa_path, isa_sampling_rate, isa_vals)
+    log.v("wrote %s (%d values), %s (%d values)"
+          % (sa_path, len(sa_vals), isa_path, len(isa_vals)))
+
+    for ref_path, produced, kind in ((ref_sa, sa_vals, "sa"), (ref_isa, isa_vals, "isa")):
+        if ref_path:
+            _rrate, ref_vals = formats.read_sampled_array(ref_path)
+            if len(ref_vals) != len(produced) or (ref_vals != produced).any():
+                raise AssertionError("%s mismatch vs reference file %s" % (kind, ref_path))
+            log.v("%s matches reference %s" % (kind, ref_path))
+    return sa_path, isa_path
+
+
+def compute_isa_from_preisa(
+    bwt_path: str, isa_sampling_rate: int = 64, log: Optional[VerboseLog] = None
+) -> str:
+    """hwtPreIsaToIsa equivalent (/root/reference/src/hwtPreIsaToIsa.cpp):
+    .bwt + .preisa -> .isa at the requested rate. Runs the same batched walk
+    but only harvests ISA samples."""
+    log = log or VerboseLog(1)
+    result = BwtResult.load(bwt_path)
+    n = result.n
+    occt, _ = result.load_occ(dense=True)
+    ranks, positions, _rate = result.load_preisa()
+    ranks, positions, seg_len = _seed_segments(ranks, positions, n)
+    steps = int(seg_len.max())
+    # harvest with sa rate n (only rank 0 recorded, ignored)
+    _sa_out, isa_out = _harvest_walk(
+        occt,
+        jnp.asarray(ranks.astype(np.int32)),
+        jnp.asarray(positions.astype(np.int32)),
+        jnp.asarray(seg_len.astype(np.int32)),
+        steps, n, n, int(isa_sampling_rate),
+    )
+    isa_vals = np.asarray(isa_out, dtype=np.int64)
+    if (isa_vals < 0).any():
+        raise AssertionError("LF walk failed to reach every sampled position")
+    base = bwt_path[:-4] if bwt_path.endswith(".bwt") else bwt_path
+    isa_path = base + ".isa"
+    formats.write_sampled_array(isa_path, isa_sampling_rate, isa_vals)
+    log.v("wrote %s (%d values)" % (isa_path, len(isa_vals)))
+    return isa_path

@@ -1,0 +1,128 @@
+"""Input types: the six text formats bwtb3m constructs BWTs over.
+
+Reference: ``BwtMergeSortOptions::parseInputType`` dispatch and the per-type
+reader classes ``ByteInputTypes / CompactInputTypes / PacInputTypes /
+PacTermInputTypes / Lz4InputTypes / Utf8InputTypes``
+(/root/reference/src/checkbwt.cpp:260-270, /root/reference/src/bwtb3m.cpp:43).
+
+Each input type loads the text as an int32 symbol array plus its alphabet
+size. The text is treated as *circular* everywhere (reference README
+"Output": no terminator is appended; comparisons wrap), so readers also
+provide circular slicing — the role of the reference's ``circular_wrapper`` /
+``circular_reverse_wrapper`` (/root/reference/src/checkbwt.cpp:168,183).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple, Type
+
+import numpy as np
+
+from . import compact, pac
+from .lz4io import read_lz4_stream
+
+PACTERM_TERMINATOR = 4  # pac alphabet {0..3} plus unique terminator
+
+
+class InputType:
+    """Base: load(path) -> (symbols int32, sigma)."""
+
+    name = "?"
+
+    @staticmethod
+    def load(path: str) -> Tuple[np.ndarray, int]:
+        raise NotImplementedError
+
+
+class ByteInput(InputType):
+    name = "bytestream"
+
+    @staticmethod
+    def load(path: str) -> Tuple[np.ndarray, int]:
+        data = np.fromfile(path, dtype=np.uint8).astype(np.int32)
+        return data, 256
+
+
+class CompactInput(InputType):
+    name = "compactstream"
+
+    @staticmethod
+    def load(path: str) -> Tuple[np.ndarray, int]:
+        symbols, bits = compact.read_compact(path)
+        return symbols, 1 << bits
+
+
+class PacInput(InputType):
+    name = "pac"
+
+    @staticmethod
+    def load(path: str) -> Tuple[np.ndarray, int]:
+        return pac.read_pac(path), 4
+
+
+class PacTermInput(InputType):
+    name = "pacterm"
+
+    @staticmethod
+    def load(path: str) -> Tuple[np.ndarray, int]:
+        codes = pac.read_pac(path)
+        # pacterm: the pac text followed by one unique terminator symbol.
+        # With the terminator strictly larger than every base symbol the
+        # circular BWT coincides with BWA's sentinel-based BWT ordering on
+        # rotations (the terminator occurs exactly once).
+        return np.concatenate([codes, [PACTERM_TERMINATOR]]).astype(np.int32), 5
+
+
+class Lz4Input(InputType):
+    name = "lz4"
+
+    @staticmethod
+    def load(path: str) -> Tuple[np.ndarray, int]:
+        data = read_lz4_stream(path)
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int32), 256
+
+
+class Utf8Input(InputType):
+    name = "utf-8"
+
+    @staticmethod
+    def load(path: str) -> Tuple[np.ndarray, int]:
+        with open(path, "rb") as f:
+            text = f.read().decode("utf-8")
+        codes = np.array([ord(c) for c in text], dtype=np.int32)
+        sigma = int(codes.max()) + 1 if len(codes) else 1
+        return codes, sigma
+
+
+_REGISTRY: Dict[str, Type[InputType]] = {
+    cls.name: cls
+    for cls in (ByteInput, CompactInput, PacInput, PacTermInput, Lz4Input, Utf8Input)
+}
+# accepted aliases
+_REGISTRY["byte"] = ByteInput
+_REGISTRY["compact"] = CompactInput
+_REGISTRY["utf8"] = Utf8Input
+
+
+def parse_input_type(name: str) -> Type[InputType]:
+    if name not in _REGISTRY:
+        raise ValueError(
+            "unknown inputtype %r (expected one of %s)"
+            % (name, ", ".join(sorted(set(c.name for c in _REGISTRY.values()))))
+        )
+    return _REGISTRY[name]
+
+
+def circular_slice(text: np.ndarray, start: int, length: int) -> np.ndarray:
+    """text[start : start+length] with wraparound (circular_wrapper role)."""
+    n = len(text)
+    idx = (start + np.arange(length)) % n
+    return text[idx]
+
+
+def circular_reverse_slice(text: np.ndarray, start: int, length: int) -> np.ndarray:
+    """text[start], text[start-1], ... going backwards circularly
+    (circular_reverse_wrapper role, /root/reference/src/checkbwt.cpp:183)."""
+    n = len(text)
+    idx = (start - np.arange(length)) % n
+    return text[idx]

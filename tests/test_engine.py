@@ -1,0 +1,124 @@
+"""End-to-end engine tests: bwtb3m -> files -> checkbwt -> bwtcomputessa."""
+
+import numpy as np
+import pytest
+
+from bwtb3m_tpu.engine import (BwtOptions, BwtResult, check_bwt, compute_bwt,
+                               compute_ssa)
+from bwtb3m_tpu.engine.ssa import compute_isa_from_preisa
+from bwtb3m_tpu.io import formats, rl
+from bwtb3m_tpu.io.pac import write_pac
+from oracle import naive_bwt, naive_circular_sa, random_string
+
+
+def _write_bytes(tmp_path, data: bytes, name="input.bin"):
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+def test_end_to_end_bytestream(tmp_path):
+    rng = np.random.default_rng(42)
+    data = bytes(rng.integers(97, 102, size=4096, dtype=np.uint8))
+    inp = _write_bytes(tmp_path, data)
+    opts = BwtOptions(input_path=inp, input_type="bytestream",
+                      sa_sampling_rate=32, isa_sampling_rate=64,
+                      preisa_sampling_rate=256, verbose=0)
+    res = compute_bwt(opts)
+
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    # .bwt decodes to the oracle BWT
+    np.testing.assert_array_equal(res.load_bwt(), naive_bwt(text))
+    # .hist matches
+    hist = formats.read_hist(res.hist_path)
+    assert hist == {int(s): int(c) for s, c in
+                    zip(*np.unique(text, return_counts=True))}
+    # sampled .sa matches oracle SA
+    sa = naive_circular_sa(text)
+    rate, sa_vals = formats.read_sampled_array(res.sa_path)
+    np.testing.assert_array_equal(sa_vals, sa[::rate])
+    # checkbwt passes
+    assert check_bwt(res, text)
+
+
+def test_checkbwt_detects_corruption(tmp_path):
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(97, 101, size=1024, dtype=np.uint8))
+    inp = _write_bytes(tmp_path, data)
+    opts = BwtOptions(input_path=inp, preisa_sampling_rate=128, verbose=0)
+    res = compute_bwt(opts)
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    # corrupt the .bwt: swap two adjacent differing symbols
+    bwt = res.load_bwt()
+    i = int(np.flatnonzero(bwt[1:] != bwt[:-1])[0])
+    bwt[i], bwt[i + 1] = bwt[i + 1], bwt[i]
+    rl.rl_encode(res.bwt_path, bwt, sigma=res.sigma)
+    assert not check_bwt(res, text)
+
+
+def test_bwtonly_then_computessa(tmp_path):
+    rng = np.random.default_rng(9)
+    data = bytes(rng.integers(97, 101, size=3000, dtype=np.uint8))
+    inp = _write_bytes(tmp_path, data)
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+
+    # full run for the reference SA/ISA files
+    full = compute_bwt(BwtOptions(
+        input_path=inp, output_filename=str(tmp_path / "full.bwt"),
+        sa_sampling_rate=16, isa_sampling_rate=16,
+        preisa_sampling_rate=97, verbose=0))
+
+    # bwtonly run, then external-memory-style SSA derivation
+    res = compute_bwt(BwtOptions(
+        input_path=inp, output_filename=str(tmp_path / "only.bwt"),
+        bwt_only=True, preisa_sampling_rate=97, verbose=0))
+    assert res.sa_path is None
+    sa_path, isa_path = compute_ssa(
+        res.bwt_path, sa_sampling_rate=16, isa_sampling_rate=16,
+        ref_sa=full.sa_path, ref_isa=full.isa_path)
+
+    sa = naive_circular_sa(text)
+    isa = np.zeros(len(sa), np.int64)
+    isa[sa] = np.arange(len(sa))
+    _, sa_vals = formats.read_sampled_array(sa_path)
+    np.testing.assert_array_equal(sa_vals, sa[::16])
+    _, isa_vals = formats.read_sampled_array(isa_path)
+    np.testing.assert_array_equal(isa_vals, isa[::16])
+
+
+def test_hwt_preisa_to_isa(tmp_path):
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(65, 70, size=2048, dtype=np.uint8))
+    inp = _write_bytes(tmp_path, data)
+    res = compute_bwt(BwtOptions(input_path=inp, bwt_only=True,
+                                 preisa_sampling_rate=200, verbose=0))
+    isa_path = compute_isa_from_preisa(res.bwt_path, isa_sampling_rate=64)
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    sa = naive_circular_sa(text)
+    isa = np.zeros(len(sa), np.int64)
+    isa[sa] = np.arange(len(sa))
+    rate, vals = formats.read_sampled_array(isa_path)
+    assert rate == 64
+    np.testing.assert_array_equal(vals, isa[::64])
+
+
+def test_pacterm_end_to_end(tmp_path):
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=2000, dtype=np.int32)
+    pacp = str(tmp_path / "x.pac")
+    write_pac(pacp, codes)
+    res = compute_bwt(BwtOptions(input_path=pacp, input_type="pacterm",
+                                 preisa_sampling_rate=256, verbose=0))
+    text = np.concatenate([codes, [4]]).astype(np.int32)
+    np.testing.assert_array_equal(res.load_bwt(), naive_bwt(text))
+    assert check_bwt(res, text)
+
+
+def test_result_reload(tmp_path):
+    data = b"mississippi" * 50
+    inp = _write_bytes(tmp_path, data)
+    res = compute_bwt(BwtOptions(input_path=inp, preisa_sampling_rate=64,
+                                 verbose=0))
+    res2 = BwtResult.load(res.bwt_path)
+    assert res2.n == len(data)
+    np.testing.assert_array_equal(res2.load_bwt(), res.load_bwt())
