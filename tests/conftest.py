@@ -1,15 +1,24 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 Mirrors the rebuild's multi-chip testing strategy (SURVEY.md section 4 note):
 the multi-device code paths run on a virtual CPU mesh and assert bit-equality
 against the single-device path.
+
+Note: the axon TPU plugin's sitecustomize imports jax and calls
+``jax.config.update("jax_platforms", "axon,cpu")`` at interpreter start, so
+setting the env var is not enough — we must update the config again here
+(before any backend is initialized).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
