@@ -1,0 +1,98 @@
+"""probeScanDna: k-mer abundance of query probes against a reference.
+
+Reference (/root/reference/src/probeScanDna.cpp) supports three modes:
+``words`` (3-bit packed k-mer sort + lookup scan, :141-423), ``hwt`` and
+``rlhwt`` (backward search ``LF.step(sym, lo, hi)`` per symbol, :100-107),
+reporting abundance histogram columns (``evaluateAcc``, :32-53).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+from ..engine.result import BwtResult
+from ..index.fm import FMIndex
+from ..io.fasta import iter_fasta
+from ..io import compact
+from ..util.log import VerboseLog
+
+_MAP = np.full(256, -1, dtype=np.int8)
+for i, ch in enumerate(b"ACGT"):
+    _MAP[ch] = i
+    _MAP[ch + 32] = i
+
+
+def _probe_kmers(seq: bytes, k: int) -> List[np.ndarray]:
+    codes = _MAP[np.frombuffer(seq, dtype=np.uint8)].astype(np.int64)
+    out = []
+    for i in range(0, len(codes) - k + 1):
+        km = codes[i : i + k]
+        if (km >= 0).all():
+            out.append(km)
+    return out
+
+
+def _evaluate_acc(counts: np.ndarray, log: VerboseLog) -> None:
+    """Histogram columns: fraction of k-mers with abundance 0, 1, 2-10, >10
+    (evaluateAcc role)."""
+    total = max(1, len(counts))
+    cols = [
+        ("c0", np.count_nonzero(counts == 0)),
+        ("c1", np.count_nonzero(counts == 1)),
+        ("c2_10", np.count_nonzero((counts >= 2) & (counts <= 10))),
+        ("c_gt10", np.count_nonzero(counts > 10)),
+    ]
+    log.m("  ".join("%s=%.4f" % (k, v / total) for k, v in cols))
+
+
+def probe_scan(ref_path: str, probes_path: str, mode: str = "hwt",
+               k: int = 31) -> int:
+    log = VerboseLog(1)
+    if mode in ("hwt", "rlhwt"):
+        result = BwtResult.load(ref_path)
+        fm = FMIndex.from_bwt_result(
+            result, structure="rlhwt" if mode == "rlhwt" else "hwt")
+        # pacterm texts carry bases as {1..4}; pac/compact4 as {0..3}
+        shift = 1 if result.sigma == 5 else 0
+
+        def count(km: np.ndarray) -> int:
+            return fm.count(km + shift)
+
+    elif mode == "words":
+        text, bits = compact.read_compact(ref_path)
+        if k > 31:
+            raise ValueError("words mode supports k <= 31")
+        n = len(text)
+        # packed k-mers of the reference (non-circular window scan)
+        t = text.astype(np.uint64)
+        packed = np.zeros(max(0, n - k + 1), dtype=np.uint64)
+        for j in range(k):
+            packed = (packed << np.uint64(2)) | t[j : n - k + 1 + j]
+        packed.sort(kind="stable")
+
+        def count(km: np.ndarray) -> int:
+            v = np.uint64(0)
+            for c in km:
+                v = (v << np.uint64(2)) | np.uint64(c)
+            lo = np.searchsorted(packed, v, side="left")
+            hi = np.searchsorted(packed, v, side="right")
+            return int(hi - lo)
+
+    else:
+        sys.stderr.write("probeScanDna: unknown mode %r\n" % mode)
+        return 1
+
+    all_counts = []
+    for name, seq in iter_fasta(probes_path):
+        kmers = _probe_kmers(seq, k)
+        counts = np.array([count(km) for km in kmers], dtype=np.int64)
+        all_counts.append(counts)
+        mean = float(counts.mean()) if len(counts) else 0.0
+        matched = int(np.count_nonzero(counts)) if len(counts) else 0
+        print("%s\t%d\t%d\t%.3f" % (name, len(counts), matched, mean))
+    if all_counts:
+        _evaluate_acc(np.concatenate(all_counts), log)
+    return 0

@@ -64,7 +64,7 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
     formats.write_preisa(base + ".preisa", isa[ppos], ppos, prate)
     files["preisa"] = base + ".preisa"
 
-    # ---- phase 5: sampled SA/ISA (bwtonly=0 path) ----------------------
+    # ---- phase 5: sampled SA/ISA + .hwt (bwtonly=0 path) ---------------
     if not options.bwt_only:
         srate = max(1, options.sa_sampling_rate)
         formats.write_sampled_array(base + ".sa", srate, sa[::srate])
@@ -72,6 +72,10 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
         irate = max(1, options.isa_sampling_rate)
         formats.write_sampled_array(base + ".isa", irate, isa[::irate])
         files["isa"] = base + ".isa"
+        from ..index.wavelet import HuffmanWaveletTree
+        with log.span("write .hwt (Huffman wavelet tree)"):
+            HuffmanWaveletTree.build(bwt).write(base + ".hwt")
+        files["hwt"] = base + ".hwt"
 
     meta = {
         "format": "bwtb3m_tpu/v1",

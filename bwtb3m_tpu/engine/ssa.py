@@ -99,20 +99,22 @@ def compute_ssa(
     log = log or VerboseLog(1)
     result = BwtResult.load(bwt_path)
     n = result.n
-    occt, _symmap = result.load_occ(dense=True)
-    ranks, positions, _rate = result.load_preisa()
-    ranks, positions, seg_len = _seed_segments(ranks, positions, n)
+    from ..util.devices import device_scope
+    with device_scope(n):
+        occt, _symmap = result.load_occ(dense=True)
+        ranks, positions, _rate = result.load_preisa()
+        ranks, positions, seg_len = _seed_segments(ranks, positions, n)
 
-    steps = int(seg_len.max())
-    sa_out, isa_out = _harvest_walk(
-        occt,
-        jnp.asarray(ranks.astype(np.int32)),
-        jnp.asarray(positions.astype(np.int32)),
-        jnp.asarray(seg_len.astype(np.int32)),
-        steps, n, int(sa_sampling_rate), int(isa_sampling_rate),
-    )
-    sa_vals = np.asarray(sa_out, dtype=np.int64)
-    isa_vals = np.asarray(isa_out, dtype=np.int64)
+        steps = int(seg_len.max())
+        sa_out, isa_out = _harvest_walk(
+            occt,
+            jnp.asarray(ranks.astype(np.int32)),
+            jnp.asarray(positions.astype(np.int32)),
+            jnp.asarray(seg_len.astype(np.int32)),
+            steps, n, int(sa_sampling_rate), int(isa_sampling_rate),
+        )
+        sa_vals = np.asarray(sa_out, dtype=np.int64)
+        isa_vals = np.asarray(isa_out, dtype=np.int64)
     if (sa_vals < 0).any() or (isa_vals < 0).any():
         raise AssertionError("LF walk failed to visit every sampled rank/position")
 
@@ -141,19 +143,21 @@ def compute_isa_from_preisa(
     log = log or VerboseLog(1)
     result = BwtResult.load(bwt_path)
     n = result.n
-    occt, _ = result.load_occ(dense=True)
-    ranks, positions, _rate = result.load_preisa()
-    ranks, positions, seg_len = _seed_segments(ranks, positions, n)
-    steps = int(seg_len.max())
-    # harvest with sa rate n (only rank 0 recorded, ignored)
-    _sa_out, isa_out = _harvest_walk(
-        occt,
-        jnp.asarray(ranks.astype(np.int32)),
-        jnp.asarray(positions.astype(np.int32)),
-        jnp.asarray(seg_len.astype(np.int32)),
-        steps, n, n, int(isa_sampling_rate),
-    )
-    isa_vals = np.asarray(isa_out, dtype=np.int64)
+    from ..util.devices import device_scope
+    with device_scope(n):
+        occt, _ = result.load_occ(dense=True)
+        ranks, positions, _rate = result.load_preisa()
+        ranks, positions, seg_len = _seed_segments(ranks, positions, n)
+        steps = int(seg_len.max())
+        # harvest with sa rate n (only rank 0 recorded, ignored)
+        _sa_out, isa_out = _harvest_walk(
+            occt,
+            jnp.asarray(ranks.astype(np.int32)),
+            jnp.asarray(positions.astype(np.int32)),
+            jnp.asarray(seg_len.astype(np.int32)),
+            steps, n, n, int(isa_sampling_rate),
+        )
+        isa_vals = np.asarray(isa_out, dtype=np.int64)
     if (isa_vals < 0).any():
         raise AssertionError("LF walk failed to reach every sampled position")
     base = bwt_path[:-4] if bwt_path.endswith(".bwt") else bwt_path

@@ -37,6 +37,13 @@ def check_bwt(result: BwtResult, text: np.ndarray,
     /root/reference/src/checkbwt.cpp)."""
     log = log or VerboseLog(0)
     n = len(text)
+    from ..util.devices import device_scope
+    with device_scope(n):
+        return _check_bwt_impl(result, text, log, n)
+
+
+def _check_bwt_impl(result: BwtResult, text: np.ndarray,
+                    log: VerboseLog, n: int) -> bool:
     occt, symmap = result.load_occ(dense=True)
     if symmap is not None:
         # occ is over densified symbols; densify the text the same way

@@ -21,7 +21,7 @@ import numpy as np
 from . import compact, pac
 from .lz4io import read_lz4_stream
 
-PACTERM_TERMINATOR = 4  # pac alphabet {0..3} plus unique terminator
+PACTERM_TERMINATOR = 0  # unique terminator, smallest symbol (BWA's '$')
 
 
 class InputType:
@@ -67,10 +67,14 @@ class PacTermInput(InputType):
     def load(path: str) -> Tuple[np.ndarray, int]:
         codes = pac.read_pac(path)
         # pacterm: the pac text followed by one unique terminator symbol.
-        # With the terminator strictly larger than every base symbol the
-        # circular BWT coincides with BWA's sentinel-based BWT ordering on
-        # rotations (the terminator occurs exactly once).
-        return np.concatenate([codes, [PACTERM_TERMINATOR]]).astype(np.int32), 5
+        # Bases are shifted to {1..4} and the terminator is 0, strictly
+        # SMALLER than every base — exactly BWA's '$' ordering, so the
+        # circular rotation sort coincides with BWA's suffix sort of T$
+        # (the unique smallest symbol ends every comparison). This is what
+        # makes the bwtb3mtobwa export (/root/reference/src/bwtb3mtobwa.cpp)
+        # line up with `bwa fa2pac` indices.
+        shifted = codes.astype(np.int32) + 1
+        return np.concatenate([shifted, [PACTERM_TERMINATOR]]).astype(np.int32), 5
 
 
 class Lz4Input(InputType):

@@ -1,0 +1,276 @@
+"""Succinct PLCP (permuted LCP) construction — equivalent of ``lcpbit``.
+
+The reference (/root/reference/src/lcpbit.cpp, 4,084 LoC — the largest
+in-repo algorithm) builds the 2n-bit unary-coded PLCP bit vector
+semi-externally: rounds of external-memory stable radix sorts perform one
+simultaneous LF step of all positions per round, with an irreducible-PLCP
+optimization and a Kärkkäinen–Kempa Phi finish (SURVEY.md section 3.4).
+
+TPU-native redesign: with the doubling sorter's intermediate rank arrays
+kept (one int32 level per doubling round), every PLCP entry is computed
+*independently and in parallel* by binary-lifting descent:
+
+    PLCP[p] = lcp(rotation p, rotation Phi(p)),  Phi(p) = SA[ISA[p]-1]
+    lcp(x, y): for level j from high to low:
+        if rank_j[x+l] == rank_j[y+l]: l += w * 2^j      (all mod n)
+    then < w final single-symbol compares.
+
+Level j's dense rank array orders rotations by their first w*2^j symbols
+(doubling invariant), so the equality test is exact; levels past
+convergence reuse the final (all-distinct) ranks, which remains exact.
+Every step is a batched gather + compare over all n lanes — the TPU shape
+of lcpbit's "one LF round = one radix pass over everything".
+
+Succinct encoding (classic 2n-bit PLCP): bit stream
+``0^{d_0} 1 0^{d_1} 1 ...`` with d_0 = PLCP[0],
+d_p = PLCP[p] - PLCP[p-1] + 1; then PLCP[p] = select1(p) - 2p.
+File format "PLB1" (FORMATS.md): magic, n, nbits, u64 words (LSB-first).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.doubling import _pack_width
+from ..util import serial
+
+MAGIC = b"PLB1"
+
+
+# --------------------------------------------------------------------------
+# doubling with retained levels
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _doubling_with_levels(sym: jnp.ndarray, sigma: int, n_levels: int):
+    """Like ops.doubling.suffix_array_jax but unrolled, returning the rank
+    array of every level (level j orders by the first w*2^j symbols)."""
+    n = sym.shape[0]
+    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    bits = max(1, math.ceil(math.log2(max(2, sigma))))
+    w = _pack_width(sigma)
+
+    key = jnp.zeros(n, dtype=jnp.uint32)
+    u = sym.astype(jnp.uint32)
+    for j in range(w):
+        key = (key << bits) | jnp.roll(u, -j)
+    k_s, p_s = lax.sort((key, pos), num_keys=1, is_stable=True)
+    neq = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), (k_s[1:] != k_s[:-1]).astype(jnp.int32)]
+    )
+    r_s = jnp.cumsum(neq, dtype=jnp.int32)
+    rank = jnp.zeros(n, dtype=jnp.int32).at[p_s].set(r_s)
+
+    levels = [rank]
+    sa = p_s
+    k = w
+    for _lev in range(1, n_levels):
+        idx2 = jnp.where(pos + k >= n, pos + k - n, pos + k)
+        r2 = jnp.take(rank, idx2)
+        r1_s, r2_s, p_s = lax.sort((rank, r2, pos), num_keys=2, is_stable=True)
+        changed = jnp.logical_or(r1_s[1:] != r1_s[:-1], r2_s[1:] != r2_s[:-1])
+        neq = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), changed.astype(jnp.int32)]
+        )
+        nr_s = jnp.cumsum(neq, dtype=jnp.int32)
+        rank = jnp.zeros(n, dtype=jnp.int32).at[p_s].set(nr_s)
+        sa = p_s
+        levels.append(rank)
+        k = min(k * 2, n)
+    return jnp.stack(levels), sa
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _plcp_descent(sym: jnp.ndarray, levels: jnp.ndarray, sa: jnp.ndarray,
+                  sigma: int, n_levels: int) -> jnp.ndarray:
+    """Vectorized binary-lifting PLCP over all positions."""
+    n = sym.shape[0]
+    w = _pack_width(sigma)
+    isa = jnp.zeros(n, jnp.int32).at[sa].set(
+        lax.broadcasted_iota(jnp.int32, (n,), 0))
+    # Phi: previous suffix in rank order (rank 0 wraps to rank n-1; its
+    # PLCP is forced to 0 below)
+    prev_rank = jnp.where(isa == 0, n - 1, isa - 1)
+    phi = jnp.take(sa, prev_rank)
+
+    p = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    q = phi
+    l = jnp.zeros(n, jnp.int32)
+    for j in range(n_levels - 1, -1, -1):
+        span = min(w << j, n)
+        pj = (p + l) % n
+        qj = (q + l) % n
+        eq = jnp.take(levels[j], pj) == jnp.take(levels[j], qj)
+        ok = jnp.logical_and(eq, l + span <= n)
+        l = jnp.where(ok, l + span, l)
+    # final < w single-symbol steps (sequential per lane, masked)
+    alive = l < n
+    for _t in range(w):
+        pj = (p + l) % n
+        qj = (q + l) % n
+        eq = jnp.take(sym, pj) == jnp.take(sym, qj)
+        step = jnp.logical_and(jnp.logical_and(alive, eq), l < n)
+        l = jnp.where(step, l + 1, l)
+        alive = step
+    # the globally smallest rotation has no predecessor
+    l = l.at[jnp.take(sa, jnp.zeros((), jnp.int32))].set(0)
+    return l
+
+
+def compute_plcp(text: np.ndarray, sigma: Optional[int] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (plcp int64 [n], sa int64 [n]) for the circular text."""
+    text = np.asarray(text, dtype=np.int32)
+    n = len(text)
+    if sigma is None:
+        sigma = int(text.max()) + 1 if n else 1
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if n == 1:
+        return np.zeros(1, np.int64), np.zeros(1, np.int64)
+    w = _pack_width(sigma)
+    n_levels = 1
+    while w * (1 << (n_levels - 1)) < n:
+        n_levels += 1
+    from ..util.devices import device_scope
+    with device_scope(n):
+        sym = jnp.asarray(text)
+        levels, sa = _doubling_with_levels(sym, int(sigma), n_levels)
+        plcp = _plcp_descent(sym, levels, sa, int(sigma), n_levels)
+        return (np.asarray(plcp, dtype=np.int64),
+                np.asarray(sa, dtype=np.int64))
+
+
+# --------------------------------------------------------------------------
+# succinct encoding
+# --------------------------------------------------------------------------
+
+def encode_plcp_bits(plcp: np.ndarray) -> np.ndarray:
+    """PLCP -> unary delta bit array (uint8 0/1)."""
+    plcp = np.asarray(plcp, dtype=np.int64)
+    n = len(plcp)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = plcp[0]
+    deltas[1:] = plcp[1:] - plcp[:-1] + 1
+    assert (deltas >= 0).all(), "PLCP violates the p+1 >= p-1 invariant"
+    total = int(deltas.sum()) + n
+    bits = np.zeros(total, dtype=np.uint8)
+    one_pos = np.cumsum(deltas + 1) - 1
+    bits[one_pos] = 1
+    return bits
+
+
+def decode_plcp_bits(bits: np.ndarray, n: int) -> np.ndarray:
+    ones = np.flatnonzero(np.asarray(bits))
+    if len(ones) != n:
+        raise ValueError("expected %d ones, found %d" % (n, len(ones)))
+    return ones - 2 * np.arange(n, dtype=np.int64)
+
+
+class PLCPBitDecoder:
+    """Reader for .lcpbit files (reference ``lcp::PLCPBitDecoder``,
+    /root/reference/src/checkLCPBit.cpp:67)."""
+
+    def __init__(self, path: str, n: Optional[int] = None):
+        with open(path, "rb") as f:
+            if f.read(4) != MAGIC:
+                raise ValueError("not a PLB1 file: %s" % path)
+            self.n = serial.read_u64(f)
+            nbits = serial.read_u64(f)
+            nwords = (nbits + 63) // 64
+            words = serial.read_u64_array(f, nwords)
+        if n is not None and n != self.n:
+            raise ValueError("length mismatch: file n=%d, expected %d" % (self.n, n))
+        bits = np.unpackbits(
+            words.astype("<u8").view(np.uint8), bitorder="little"
+        )[:nbits]
+        self._plcp = decode_plcp_bits(bits, self.n)
+
+    def get(self, p):
+        return self._plcp[np.asarray(p, dtype=np.int64)]
+
+    def all(self) -> np.ndarray:
+        return self._plcp.copy()
+
+
+def write_plcp_file(path: str, plcp: np.ndarray) -> None:
+    bits = encode_plcp_bits(plcp)
+    nbits = len(bits)
+    padded = np.zeros(((nbits + 63) // 64) * 64, dtype=np.uint8)
+    padded[:nbits] = bits
+    words = np.packbits(padded, bitorder="little").view(np.uint64)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        serial.write_u64(f, len(plcp))
+        serial.write_u64(f, nbits)
+        serial.write_u64_array(f, words)
+
+
+# --------------------------------------------------------------------------
+# file-level drivers
+# --------------------------------------------------------------------------
+
+def _text_from_bwt_meta(bwt_path: str) -> Tuple[np.ndarray, int]:
+    from ..engine.result import BwtResult
+    from ..io.inputtypes import parse_input_type
+
+    result = BwtResult.load(bwt_path)
+    itype = parse_input_type(result.meta["inputtype"])
+    return itype.load(result.meta["input"])
+
+
+def compute_plcp_file(bwt_path: str, out_path: str) -> str:
+    """lcpbit driver: text (via the .meta manifest) -> .lcpbit."""
+    text, sigma = _text_from_bwt_meta(bwt_path)
+    plcp, _sa = compute_plcp(text, sigma)
+    write_plcp_file(out_path, plcp)
+    return out_path
+
+
+def kasai_plcp(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Independent host oracle: Phi + direct compare (circular), the
+    verification method of checkLCPBit (recompute-and-compare)."""
+    text = np.asarray(text)
+    n = len(text)
+    isa = np.zeros(n, dtype=np.int64)
+    isa[sa] = np.arange(n)
+    plcp = np.zeros(n, dtype=np.int64)
+    l = 0
+    for p in range(n):
+        r = isa[p]
+        if r == 0:
+            l = 0
+            continue
+        q = sa[r - 1]
+        while l < n and text[(p + l) % n] == text[(q + l) % n]:
+            l += 1
+        plcp[p] = l
+        l = max(0, l - 1)
+    return plcp
+
+
+def verify_plcp_file(lcpbit_path: str, bwt_path: str) -> bool:
+    """checkLCPBit: verify the .lcpbit against an independently recomputed
+    PLCP (reference checkLCPBit.cpp:62-82 recomputes the LCP via WaveletLCP
+    and compares all entries; here the independent oracle is a host
+    Phi/Kasai pass over the doubling SA)."""
+    text, sigma = _text_from_bwt_meta(bwt_path)
+    from ..ops.doubling import suffix_array
+
+    sa, _isa, _bwtarr = suffix_array(text, sigma)
+    return verify_plcp(lcpbit_path, text, sa)
+
+
+def verify_plcp(lcpbit_path: str, text: np.ndarray, sa: np.ndarray) -> bool:
+    dec = PLCPBitDecoder(lcpbit_path, n=len(text))
+    ref = kasai_plcp(text, sa)
+    return bool(np.array_equal(dec.all(), ref))

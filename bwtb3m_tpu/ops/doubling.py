@@ -123,11 +123,13 @@ def suffix_array(symbols: np.ndarray, sigma: int) -> Tuple[np.ndarray, np.ndarra
     if n == 1:
         return (np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int64),
                 np.asarray(symbols, dtype=np.int32))
-    sym_dev = jnp.asarray(np.asarray(symbols, dtype=np.int32))
-    sa_dev, _rank = suffix_array_jax(sym_dev, int(sigma))
-    bwt_dev = bwt_from_sa(sym_dev, sa_dev)
-    sa = np.asarray(jax.device_get(sa_dev), dtype=np.int64)
-    bwt = np.asarray(jax.device_get(bwt_dev), dtype=np.int32)
+    from ..util.devices import device_scope
+    with device_scope(n):
+        sym_dev = jnp.asarray(np.asarray(symbols, dtype=np.int32))
+        sa_dev, _rank = suffix_array_jax(sym_dev, int(sigma))
+        bwt_dev = bwt_from_sa(sym_dev, sa_dev)
+        sa = np.asarray(jax.device_get(sa_dev), dtype=np.int64)
+        bwt = np.asarray(jax.device_get(bwt_dev), dtype=np.int32)
     isa = np.zeros(n, dtype=np.int64)
     isa[sa] = np.arange(n, dtype=np.int64)
     return sa, isa, bwt

@@ -1,0 +1,220 @@
+"""End-to-end CLI tests: drive the tools exactly as a user would."""
+
+import gzip
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from bwtb3m_tpu.cli import dispatch
+from bwtb3m_tpu.io import compact, formats
+from bwtb3m_tpu.io.pac import write_pac
+from oracle import naive_bwt, naive_circular_sa, random_string
+
+
+def run(args):
+    return dispatch(list(args))
+
+
+def _write_fasta(path, seqs, gz=False):
+    buf = []
+    for name, seq in seqs:
+        buf.append(">%s\n%s\n" % (name, seq))
+    data = "".join(buf).encode()
+    if gz:
+        with gzip.open(path, "wb") as f:
+            f.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def test_fagz_to_compact(tmp_path):
+    fa = str(tmp_path / "x.fa.gz")
+    _write_fasta(fa, [("s1", "ACGTN"), ("s2", "GGCC")], gz=True)
+    out = str(tmp_path / "x.compact")
+    assert run(["fagzToCompact", "rc=1", "outputfilename=" + out, fa]) == 0
+    sym, bits = compact.read_compact(out)
+    assert bits == 3
+    # s1: ACGTN -> 1,2,3,4,5 term 0; rc(ACGTN) = NACGT -> 5,1,2,3,4 term 0
+    # s1: ACGTN -> 1,2,3,4,5 |0|; rc = NACGT -> 5,1,2,3,4 |0|
+    # s2: GGCC -> 3,3,2,2 |0|; rc(GGCC) = GGCC -> 3,3,2,2 |0|
+    expect = [1, 2, 3, 4, 5, 0, 5, 1, 2, 3, 4, 0,
+              3, 3, 2, 2, 0, 3, 3, 2, 2, 0]
+    assert sym.tolist() == expect
+
+
+def test_fagz_to_compact4_meta(tmp_path):
+    fa = str(tmp_path / "y.fa")
+    _write_fasta(fa, [("s1", "ACNNGT"), ("s2", "TTTT")])
+    out = str(tmp_path / "y.c4")
+    assert run(["fagzToCompact4", "outputfilename=" + out, "seed=7", fa]) == 0
+    sym, bits = compact.read_compact(out)
+    assert bits == 2 and len(sym) == 10
+    from bwtb3m_tpu.cli.prep import read_compact4_meta
+    meta = read_compact4_meta(out + ".meta")
+    assert meta == [(6, [(2, 4)]), (4, [])]
+    # non-N bases intact
+    assert sym[:2].tolist() == [0, 1] and sym[4:6].tolist() == [2, 3]
+    assert sym[6:].tolist() == [3, 3, 3, 3]
+
+
+def test_fagz_uterm(tmp_path):
+    fa = str(tmp_path / "z.fa")
+    _write_fasta(fa, [("a", "AC"), ("b", "GT"), ("c", "AA")])
+    out = str(tmp_path / "z.cu")
+    assert run(["fagzToCompactUTerm", "outputfilename=" + out, fa]) == 0
+    sym, bits = compact.read_compact(out)
+    assert bits == 3
+    # 3 seqs -> seqbits=2; bases +2; ids 00, 01, 10
+    assert sym.tolist() == [2, 3, 0, 0, 4, 5, 0, 1, 2, 2, 1, 0]
+
+
+def test_digits_to_compact(tmp_path):
+    p = tmp_path / "d.txt"
+    p.write_text("3141592653")
+    out = str(tmp_path / "d.compact")
+    assert run(["digitsToCompact", "term=1", "outputfilename=" + out, str(p)]) == 0
+    sym, bits = compact.read_compact(out)
+    assert bits == 4
+    assert sym.tolist() == [4, 2, 5, 2, 6, 10, 3, 7, 6, 4, 0]
+
+
+def test_full_pipeline_bwtb3m_checkbwt(tmp_path):
+    data = bytes(random_string(2000, 4, seed=5).astype(np.uint8) + 97)
+    inp = tmp_path / "t.bin"
+    inp.write_bytes(data)
+    assert run(["bwtb3m", "inputtype=bytestream", "sasamplingrate=16",
+                "isasamplingrate=16", "verbose=0", str(inp)]) == 0
+    assert run(["checkbwt", "inputtype=bytestream", str(inp),
+                str(inp) + ".bwt"]) == 0
+    # decode RL back to bytes: must equal oracle BWT
+    from bwtb3m_tpu.io.rl import rl_decode
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    np.testing.assert_array_equal(rl_decode(str(inp) + ".bwt"),
+                                  naive_bwt(text))
+
+
+def test_bwa_pipeline(tmp_path):
+    codes = random_string(500, 4, seed=11)
+    pacp = str(tmp_path / "g.pac")
+    write_pac(pacp, codes)
+    assert run(["bwtb3m", "inputtype=pacterm", "sasamplingrate=32",
+                "isasamplingrate=32", "verbose=0", pacp]) == 0
+    out_bwt = str(tmp_path / "bwa.bwt")
+    out_sa = str(tmp_path / "bwa.sa")
+    assert run(["bwtb3mtobwa", pacp + ".bwt", out_bwt, out_sa,
+                "verbose=0"]) == 0
+    from bwtb3m_tpu.index.bwa import read_bwa_bwt
+    primary, L2, bases = read_bwa_bwt(out_bwt)
+    assert len(bases) == 500
+
+
+def test_converters(tmp_path):
+    codes = random_string(400, 4, seed=2)
+    pacp = str(tmp_path / "c.pac")
+    write_pac(pacp, codes)
+    assert run(["bwtb3m", "inputtype=pac", "verbose=0", pacp]) == 0
+    bwt = pacp + ".bwt"
+    assert run(["bwttohwt", bwt]) == 0
+    assert run(["hwtToRlHwt", "verify=1", bwt]) == 0
+    assert run(["bwttodnarank", bwt]) == 0
+    assert run(["bwttodnarank256", "outputfilename=%s" % (bwt + ".dr256"), bwt]) == 0
+    # hwt decodes to the bwt
+    from bwtb3m_tpu.index.wavelet import HuffmanWaveletTree
+    from bwtb3m_tpu.io.rl import rl_decode
+    base = pacp
+    wt = HuffmanWaveletTree.read(base + ".hwt")
+    np.testing.assert_array_equal(wt.decode_all(), rl_decode(bwt))
+    # dnarank rank matches
+    from bwtb3m_tpu.index.dnarank import DNARank
+    dr = DNARank.read(base + ".dnarank")
+    bwtarr = rl_decode(bwt)
+    assert dr.rank(2, 100) == int(np.count_nonzero(bwtarr[:100] == 2))
+
+
+def test_ssa_tools(tmp_path):
+    data = bytes(random_string(1500, 3, seed=8).astype(np.uint8) + 97)
+    inp = tmp_path / "s.bin"
+    inp.write_bytes(data)
+    assert run(["bwtb3m", "bwtonly=1", "verbose=0", str(inp)]) == 0
+    bwt = str(inp) + ".bwt"
+    assert run(["bwtcomputessa", "sasamplingrate=16", "isasamplingrate=16",
+                "verbose=0", bwt]) == 0
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    sa = naive_circular_sa(text)
+    rate, vals = formats.read_sampled_array(str(inp) + ".sa")
+    np.testing.assert_array_equal(vals, sa[::16])
+    # sortPreIsa + sasubsample
+    assert run(["sortPreIsa", str(inp) + ".preisa", "verbose=0"]) == 0
+    sub = str(tmp_path / "sub.sa")
+    assert run(["sasubsample", "-s4", str(inp) + ".sa", sub]) == 0
+    rate2, vals2 = formats.read_sampled_array(sub)
+    assert rate2 == 64
+    np.testing.assert_array_equal(vals2, vals[::4])
+    # arraytocompact round trip (verify-on-write inside the tool)
+    assert run(["arraytocompact", "verbose=0", str(inp) + ".sa"]) == 0
+
+
+def test_bwtdecodeblock_and_decoder(tmp_path, capsysbinary):
+    data = b"the quick brown fox jumps over the lazy dog " * 20
+    inp = tmp_path / "q.bin"
+    inp.write_bytes(data)
+    assert run(["bwtb3m", "isasamplingrate=64", "sasamplingrate=8",
+                "verbose=0", str(inp)]) == 0
+    assert run(["bwtdecodeblock", "ref=" + str(inp), str(inp) + ".bwt",
+                "100", "40"]) == 0
+    out = capsysbinary.readouterr().out
+    assert out == data[100:140]
+
+
+def test_lcpbit_cli(tmp_path):
+    data = bytes(random_string(600, 4, seed=13).astype(np.uint8) + 65)
+    inp = tmp_path / "l.bin"
+    inp.write_bytes(data)
+    assert run(["bwtb3m", "verbose=0", str(inp)]) == 0
+    bwt = str(inp) + ".bwt"
+    assert run(["lcpbit", bwt]) == 0
+    assert run(["checkLCPBit", str(inp) + ".lcpbit", bwt]) == 0
+    assert run(["hwtToLCP", "checklcp=1", bwt]) == 0
+
+
+def test_probescan_cli(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 800, dtype=np.int32)
+    pacp = str(tmp_path / "r.pac")
+    write_pac(pacp, codes)
+    assert run(["bwtb3m", "inputtype=pacterm", "verbose=0", pacp]) == 0
+    # probe = an exact 20-mer from the reference
+    bases = "ACGT"
+    probe = "".join(bases[c] for c in codes[100:120])
+    fa = str(tmp_path / "p.fa")
+    _write_fasta(fa, [("p1", probe)])
+    assert run(["probeScanDna", "mode=hwt", "k=20", pacp + ".bwt", fa]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[0]
+    name, nk, matched, mean = line.split("\t")
+    assert name == "p1" and int(nk) == 1 and int(matched) == 1
+
+
+def test_allhamdna_cli(tmp_path, capsys):
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, 600, dtype=np.int32)
+    pacp = str(tmp_path / "h.pac")
+    write_pac(pacp, codes)
+    assert run(["bwtb3m", "inputtype=pacterm", "sasamplingrate=8",
+                "isasamplingrate=8", "verbose=0", pacp]) == 0
+    bases = "ACGT"
+    read = list(bases[c] for c in codes[50:80])
+    read[10] = bases[(codes[60] + 1) % 4]  # one mismatch
+    fa = str(tmp_path / "reads.fa")
+    _write_fasta(fa, [("r1", "".join(read))])
+    assert run(["allHamDna", "maxmis=1", pacp + ".bwt", fa]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("r1")]
+    hit = [l for l in lines if "\t51\t" in l and "NM:i:1" in l]
+    assert hit, out
+
+
+def test_unknown_tool():
+    assert run(["nonsense"]) == 1

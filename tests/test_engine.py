@@ -109,7 +109,7 @@ def test_pacterm_end_to_end(tmp_path):
     write_pac(pacp, codes)
     res = compute_bwt(BwtOptions(input_path=pacp, input_type="pacterm",
                                  preisa_sampling_rate=256, verbose=0))
-    text = np.concatenate([codes, [4]]).astype(np.int32)
+    text = np.concatenate([codes + 1, [0]]).astype(np.int32)
     np.testing.assert_array_equal(res.load_bwt(), naive_bwt(text))
     assert check_bwt(res, text)
 

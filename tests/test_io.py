@@ -123,12 +123,12 @@ def test_input_types(tmp_path):
     sym, sigma = parse_input_type("bytestream").load(str(bs))
     np.testing.assert_array_equal(sym, np.frombuffer(b"banana", np.uint8))
     assert sigma == 256
-    # pacterm appends unique terminator 4
+    # pacterm shifts bases to 1..4 and appends smallest-symbol terminator 0
     codes = np.array([0, 1, 2, 3, 0], dtype=np.int32)
     pp = tmp_path / "x.pac"
     pac.write_pac(str(pp), codes)
     sym, sigma = parse_input_type("pacterm").load(str(pp))
-    np.testing.assert_array_equal(sym, np.concatenate([codes, [4]]))
+    np.testing.assert_array_equal(sym, np.concatenate([codes + 1, [0]]))
     assert sigma == 5
     # utf-8
     up = tmp_path / "x.txt"
