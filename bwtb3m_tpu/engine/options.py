@@ -31,10 +31,16 @@ class BwtOptions:
     large_lcp_thres: int = 16384          # bwtb3m.cpp:55 default
     verbose: int = 1
     # TPU-specific knobs (no reference analog):
-    max_block_symbols: int = 1 << 27      # per-device doubling block budget
+    # per-device doubling block budget; derived from mem when unset —
+    # the reference's mem= bounds the per-block in-RAM sort the same way
+    # (bwtb3m.cpp:47); the doubling sorter holds ~16 bytes/symbol of
+    # device state.
+    max_block_symbols: Optional[int] = None
     preisa_sampling_rate: Optional[int] = None  # defaults to isa_sampling_rate
 
     def __post_init__(self):
+        if self.max_block_symbols is None:
+            self.max_block_symbols = min(1 << 27, max(1 << 10, self.mem // 16))
         if self.output_filename is None:
             self.output_filename = self.input_path + ".bwt"
         if self.tmp_prefix is None:

@@ -1,0 +1,98 @@
+"""Windowed per-block suffix sorting for the merge engine.
+
+The reference sorts each block in RAM with divsufsort plus a gt-bitvector
+resolving comparisons that run past the block boundary (SURVEY.md section
+3.1 phase 2, hard-part 3). TPU redesign: sort the block's suffixes by
+doubling over a lookahead *window* [s, s+W) of the circular text (W =
+block length + lookahead), **twice** — once treating out-of-window as the
+smallest possible tail and once as the largest. The true circular order
+lies between these two extremes, so if both sorts agree on the block's
+suffixes every comparison was decided inside the window; otherwise the
+caller doubles the lookahead (the ``largelcpthres`` escape of
+bwtb3m.cpp:55 in spirit).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _window_order(window: jnp.ndarray, sigma: int, pad_high: bool) -> jnp.ndarray:
+    """Order of all window suffixes by non-circular comparison, with
+    out-of-window treated as -inf (pad_high=False) or +inf (True).
+    Ties (identical clamped suffixes) break by position."""
+    W = window.shape[0]
+    pos = lax.broadcasted_iota(jnp.int32, (W,), 0)
+    # shift symbols to 1..sigma so 0 (pad low) / sigma+1 (pad high) are
+    # strictly outside the alphabet
+    ext_sigma = sigma + 2
+    bits = max(1, math.ceil(math.log2(ext_sigma)))
+    w = max(1, 32 // bits)
+    pad_val = jnp.uint32(sigma + 1 if pad_high else 0)
+    u = window.astype(jnp.uint32) + 1
+
+    key = jnp.zeros(W, dtype=jnp.uint32)
+    for j in range(w):
+        shifted = jnp.concatenate(
+            [u[j:], jnp.full((j,), pad_val, jnp.uint32)]) if j else u
+        key = (key << bits) | shifted
+    k_s, p_s = lax.sort((key, pos), num_keys=1, is_stable=True)
+    neq = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), (k_s[1:] != k_s[:-1]).astype(jnp.int32)])
+    r_s = jnp.cumsum(neq, dtype=jnp.int32)
+    rank = jnp.zeros(W, dtype=jnp.int32).at[p_s].set(r_s)
+    pad_rank = jnp.int32(W + 1 if pad_high else -1)
+
+    def cond(carry):
+        _r, _sa, k, done = carry
+        return jnp.logical_and(jnp.logical_not(done), k < W)
+
+    def body(carry):
+        rank, _sa, k, _done = carry
+        idx2 = pos + k
+        r2 = jnp.where(idx2 < W, jnp.take(rank, jnp.minimum(idx2, W - 1)),
+                       pad_rank)
+        r1_s, r2_s, p_s = lax.sort((rank, r2, pos), num_keys=3, is_stable=False)
+        changed = jnp.logical_or(r1_s[1:] != r1_s[:-1], r2_s[1:] != r2_s[:-1])
+        neq = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), changed.astype(jnp.int32)])
+        nr_s = jnp.cumsum(neq, dtype=jnp.int32)
+        nrank = jnp.zeros(W, dtype=jnp.int32).at[p_s].set(nr_s)
+        done = nr_s[-1] == jnp.int32(W - 1)
+        return (nrank, p_s, k * 2, done)
+
+    done0 = r_s[-1] == jnp.int32(W - 1)
+    _rank, sa, _k, _done = lax.while_loop(cond, body, (rank, p_s, jnp.int32(w), done0))
+    return sa
+
+
+def block_suffix_order(window: np.ndarray, block_len: int, sigma: int
+                       ) -> Tuple[np.ndarray, bool]:
+    """Sort the first `block_len` window positions by circular-text rotation
+    order, decided within the window.
+
+    Returns (pad_low order, pad_high order, resolved flag), each order over
+    [0, block_len) as window offsets. When resolved, both orders agree and
+    either is the true circular order. When the window spans the whole
+    rotation for every block position (W >= block_len + n), any remaining
+    disagreement is between *genuinely equal rotations*, whose true order
+    is the position tie-break — the pad_high order (the longer-available
+    suffix sorts first, i.e. smaller positions first).
+    """
+    window = np.asarray(window, dtype=np.int32)
+    W = len(window)
+    win_dev = jnp.asarray(window)
+    lo_sa = np.asarray(_window_order(win_dev, int(sigma), False))
+    hi_sa = np.asarray(_window_order(win_dev, int(sigma), True))
+    lo_block = lo_sa[lo_sa < block_len]
+    hi_block = hi_sa[hi_sa < block_len]
+    resolved = bool(np.array_equal(lo_block, hi_block))
+    return (lo_block.astype(np.int64), hi_block.astype(np.int64), resolved)
