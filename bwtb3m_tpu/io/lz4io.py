@@ -30,7 +30,12 @@ MIN_MATCH = 4
 
 
 def lz4_compress_block(src: bytes) -> bytes:
-    """Compress one block to the LZ4 block format (greedy)."""
+    """Compress one block to the LZ4 block format (greedy). Uses the
+    native C++ codec when available."""
+    from .. import native
+    nat = native.lz4_compress(src)
+    if nat is not None:
+        return nat
     n = len(src)
     out = bytearray()
     table = {}
@@ -89,7 +94,12 @@ def _emit_literals_only(out: bytearray, lit: bytes) -> None:
 
 
 def lz4_decompress_block(src: bytes, usize: int) -> bytes:
-    """Decompress one LZ4 block (public block format)."""
+    """Decompress one LZ4 block (public block format). Uses the native
+    C++ codec when available."""
+    from .. import native
+    nat = native.lz4_decompress(src, usize)
+    if nat is not None:
+        return nat
     out = bytearray()
     i = 0
     n = len(src)

@@ -241,6 +241,10 @@ def kasai_plcp(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
     verification method of checkLCPBit (recompute-and-compare)."""
     text = np.asarray(text)
     n = len(text)
+    from .. import native
+    nat = native.kasai_plcp(text, np.asarray(sa))
+    if nat is not None:
+        return nat
     isa = np.zeros(n, dtype=np.int64)
     isa[sa] = np.arange(n)
     plcp = np.zeros(n, dtype=np.int64)

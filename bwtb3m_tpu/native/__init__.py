@@ -1,0 +1,120 @@
+"""Native C++ codec loader.
+
+Compiles bwtb3m_native.cpp with g++ on first use (cached as a .so next to
+this file), binds it via ctypes, and exposes numpy-typed wrappers. Every
+entry point has a pure-Python fallback at its call site; importers should
+use ``get_lib()`` and handle None.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "bwtb3m_native.cpp")
+_SO = os.path.join(_DIR, "_bwtb3m_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _SO + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def get_lib():
+    """Returns the loaded ctypes library or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("BWTB3M_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
+        p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.c_pack_bits.argtypes = [p64, i64, ctypes.c_int, pu8, i64]
+        lib.c_unpack_bits.argtypes = [pu8, i64, ctypes.c_int, p32]
+        lib.c_lz4_compress.argtypes = [pu8, i64, pu8, i64]
+        lib.c_lz4_compress.restype = i64
+        lib.c_lz4_decompress.argtypes = [pu8, i64, pu8, i64]
+        lib.c_lz4_decompress.restype = i64
+        lib.c_gt0.argtypes = [p32, i64, pu8]
+        lib.c_kasai_plcp.argtypes = [p32, p64, i64, p64]
+        lib.c_run_scan.argtypes = [p32, i64, p32, p64]
+        lib.c_run_scan.restype = i64
+        _lib = lib
+        return _lib
+
+
+# ---------------------------------------------------------------- wrappers
+
+def lz4_compress(data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + len(data) // 255 + 64
+    dst = np.zeros(cap, dtype=np.uint8)
+    size = lib.c_lz4_compress(np.ascontiguousarray(src), len(src), dst, cap)
+    if size < 0:
+        return None
+    return dst[:size].tobytes()
+
+
+def lz4_decompress(data: bytes, usize: int) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.zeros(max(1, usize), dtype=np.uint8)
+    size = lib.c_lz4_decompress(np.ascontiguousarray(src), len(src), dst, usize)
+    if size != usize:
+        return None
+    return dst[:usize].tobytes()
+
+
+def gt0(text: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.int32)
+    out = np.zeros(len(text), dtype=np.uint8)
+    lib.c_gt0(text, len(text), out)
+    return out
+
+
+def kasai_plcp(text: np.ndarray, sa: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.int32)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    out = np.zeros(len(text), dtype=np.int64)
+    lib.c_kasai_plcp(text, sa, len(text), out)
+    return out

@@ -1,0 +1,235 @@
+// Native host codecs for bwtb3m_tpu.
+//
+// The reference suite is native C++ throughout (libmaus2); this module
+// provides the performance-critical host-side pieces of the rebuild as a
+// small C library bound via ctypes (pybind11 is not available in the
+// build image). Everything here has a pure-numpy/Python fallback in the
+// Python packages; the loader (bwtb3m_tpu/native/__init__.py) compiles
+// this file on first use with g++ and falls back silently if no
+// toolchain is present.
+//
+// Contents:
+//   - k-bit compact array pack/unpack (bitio::CompactArray role)
+//   - LZ4 block compress/decompress (public LZ4 block format;
+//     lz::Lz4CompressStream role)
+//   - gt0 / Z-array pass (the gap recurrence's wrap-term oracle)
+//   - Kasai/Phi PLCP (verification oracle of checkLCPBit)
+//   - run-length scan (huffman::RLEncoder run detection role)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- compact
+
+// Pack n symbols of `bits` bits each, LSB-first in the byte stream
+// (identical layout to io/compact.py pack_bits).
+void c_pack_bits(const int64_t* syms, int64_t n, int bits, uint8_t* out,
+                 int64_t out_len) {
+  std::memset(out, 0, (size_t)out_len);
+  int64_t bitpos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t v = (uint64_t)syms[i];
+    for (int b = 0; b < bits; ++b) {
+      if ((v >> b) & 1u) out[(bitpos + b) >> 3] |= (uint8_t)(1u << ((bitpos + b) & 7));
+    }
+    bitpos += bits;
+  }
+}
+
+void c_unpack_bits(const uint8_t* data, int64_t n, int bits, int32_t* out) {
+  int64_t bitpos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t v = 0;
+    for (int b = 0; b < bits; ++b) {
+      v |= (uint32_t)((data[(bitpos + b) >> 3] >> ((bitpos + b) & 7)) & 1u) << b;
+    }
+    out[i] = (int32_t)v;
+    bitpos += bits;
+  }
+}
+
+// ------------------------------------------------------------------- LZ4
+
+// Greedy LZ4 block compression (public block format). Returns compressed
+// size, or -1 if dst too small. dst should be n + n/255 + 16 bytes.
+int64_t c_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t dst_cap) {
+  const int64_t MINMATCH = 4;
+  std::vector<int64_t> table((size_t)1 << 16, -1);
+  auto hash = [](uint32_t v) -> uint32_t {
+    return (v * 2654435761u) >> 16;
+  };
+  int64_t op = 0, anchor = 0, i = 0;
+  int64_t limit = n - 12;
+
+  auto emit_len = [&](int64_t v) -> bool {
+    while (v >= 255) {
+      if (op >= dst_cap) return false;
+      dst[op++] = 255;
+      v -= 255;
+    }
+    if (op >= dst_cap) return false;
+    dst[op++] = (uint8_t)v;
+    return true;
+  };
+  auto emit_seq = [&](int64_t lit_start, int64_t lit_len, int64_t offset,
+                      int64_t mlen) -> bool {
+    int64_t ml = mlen - MINMATCH;
+    if (op >= dst_cap) return false;
+    uint8_t token = (uint8_t)(((lit_len < 15 ? lit_len : 15) << 4) |
+                              (ml < 15 ? ml : 15));
+    dst[op++] = token;
+    if (lit_len >= 15 && !emit_len(lit_len - 15)) return false;
+    if (op + lit_len + 2 > dst_cap) return false;
+    std::memcpy(dst + op, src + lit_start, (size_t)lit_len);
+    op += lit_len;
+    dst[op++] = (uint8_t)(offset & 0xff);
+    dst[op++] = (uint8_t)(offset >> 8);
+    if (ml >= 15 && !emit_len(ml - 15)) return false;
+    return true;
+  };
+
+  while (i <= limit) {
+    uint32_t v;
+    std::memcpy(&v, src + i, 4);
+    uint32_t h = hash(v);
+    int64_t cand = table[h];
+    table[h] = i;
+    uint32_t cv = 0;
+    if (cand >= 0 && i - cand <= 0xFFFF) std::memcpy(&cv, src + cand, 4);
+    if (cand >= 0 && i - cand <= 0xFFFF && cv == v) {
+      int64_t m = 4;
+      int64_t maxm = n - 5 - i;
+      while (m < maxm && src[cand + m] == src[i + m]) ++m;
+      if (!emit_seq(anchor, i - anchor, i - cand, m)) return -1;
+      i += m;
+      anchor = i;
+    } else {
+      ++i;
+    }
+  }
+  // trailing literals
+  int64_t lit = n - anchor;
+  if (op >= dst_cap) return -1;
+  dst[op++] = (uint8_t)((lit < 15 ? lit : 15) << 4);
+  if (lit >= 15 && !emit_len(lit - 15)) return -1;
+  if (op + lit > dst_cap) return -1;
+  std::memcpy(dst + op, src + anchor, (size_t)lit);
+  op += lit;
+  return op;
+}
+
+// Returns decompressed size, or -1 on corrupt input / overflow.
+int64_t c_lz4_decompress(const uint8_t* src, int64_t csize, uint8_t* dst,
+                         int64_t usize) {
+  int64_t ip = 0, op = 0;
+  while (ip < csize) {
+    uint8_t token = src[ip++];
+    int64_t ll = token >> 4;
+    if (ll == 15) {
+      uint8_t b;
+      do {
+        if (ip >= csize) return -1;
+        b = src[ip++];
+        ll += b;
+      } while (b == 255);
+    }
+    if (ip + ll > csize || op + ll > usize) return -1;
+    std::memcpy(dst + op, src + ip, (size_t)ll);
+    ip += ll;
+    op += ll;
+    if (ip >= csize) break;  // last sequence: literals only
+    int64_t offset = src[ip] | ((int64_t)src[ip + 1] << 8);
+    ip += 2;
+    int64_t ml = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= csize) return -1;
+        b = src[ip++];
+        ml += b;
+      } while (b == 255);
+    }
+    int64_t ref = op - offset;
+    if (ref < 0 || op + ml > usize) return -1;
+    for (int64_t j = 0; j < ml; ++j) dst[op + j] = dst[ref + j];
+    op += ml;
+  }
+  return op;
+}
+
+// ------------------------------------------------------------- gt0 / Z
+
+// gt0[x] = 1 iff rotation 0 of text is STRICTLY smaller than rotation x.
+// Z-algorithm over the doubled text, O(n).
+void c_gt0(const int32_t* text, int64_t n, uint8_t* gt0) {
+  if (n == 0) return;
+  std::vector<int64_t> z((size_t)(2 * n), 0);
+  auto s = [&](int64_t i) -> int32_t { return text[i < n ? i : i - n]; };
+  int64_t l = 0, r = 0;
+  for (int64_t x = 1; x < 2 * n; ++x) {
+    int64_t zx = 0;
+    if (x < r) {
+      int64_t cached = z[x - l];
+      zx = (r - x < cached) ? (r - x) : cached;
+    }
+    while (x + zx < 2 * n && zx < n && s(zx) == s(x + zx)) ++zx;
+    if (x + zx > r) { l = x; r = x + zx; }
+    z[x] = zx < n ? zx : n;
+  }
+  gt0[0] = 0;
+  for (int64_t x = 1; x < n; ++x) {
+    int64_t lcp = z[x];
+    if (lcp >= n) gt0[x] = 0;  // equal rotations: not strictly smaller
+    else gt0[x] = s(lcp) < s(x + lcp) ? 1 : 0;
+  }
+}
+
+// ------------------------------------------------------------- PLCP
+
+// Phi/Kasai PLCP for the circular text (verification oracle).
+void c_kasai_plcp(const int32_t* text, const int64_t* sa, int64_t n,
+                  int64_t* plcp) {
+  std::vector<int64_t> isa((size_t)n);
+  for (int64_t r = 0; r < n; ++r) isa[sa[r]] = r;
+  int64_t l = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    int64_t r = isa[p];
+    if (r == 0) { plcp[p] = 0; l = 0; continue; }
+    int64_t q = sa[r - 1];
+    while (l < n && text[(p + l) % n] == text[(q + l) % n]) ++l;
+    plcp[p] = l;
+    if (l > 0) --l;
+  }
+}
+
+// ---------------------------------------------------------- run lengths
+
+// Detect maximal runs; returns run count. run_syms/run_lens must have
+// capacity n.
+int64_t c_run_scan(const int32_t* syms, int64_t n, int32_t* run_syms,
+                   int64_t* run_lens) {
+  if (n == 0) return 0;
+  int64_t k = 0;
+  int32_t cur = syms[0];
+  int64_t len = 1;
+  for (int64_t i = 1; i < n; ++i) {
+    if (syms[i] == cur) {
+      ++len;
+    } else {
+      run_syms[k] = cur;
+      run_lens[k] = len;
+      ++k;
+      cur = syms[i];
+      len = 1;
+    }
+  }
+  run_syms[k] = cur;
+  run_lens[k] = len;
+  return k + 1;
+}
+
+}  // extern "C"

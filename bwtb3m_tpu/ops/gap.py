@@ -204,6 +204,10 @@ def compute_gt0(text: np.ndarray) -> np.ndarray:
     n = len(text)
     if n == 0:
         return np.zeros(0, np.uint8)
+    from .. import native
+    nat = native.gt0(text)
+    if nat is not None:
+        return nat
     s = np.concatenate([text, text])
     # Z-array of s (classic algorithm), z[x] capped at n
     z = np.zeros(2 * n, dtype=np.int64)
