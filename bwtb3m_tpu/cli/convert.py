@@ -22,6 +22,14 @@ from ..util.log import VerboseLog
 from . import tool
 
 
+def _fresh(out: str, inp: str) -> bool:
+    """Output exists and is at least as new as the input — the reference's
+    freshness skip (checkbwt.cpp:46-53 .hwt mtime check; hwtToRlHwt.cpp:39
+    recreate flag)."""
+    return (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(inp))
+
+
 @tool("bwttohwt")
 def bwt_to_hwt(argv: List[str]) -> int:
     """.bwt -> .hwt Huffman wavelet tree (reference bwttohwt.cpp:35-40:
@@ -34,6 +42,9 @@ def bwt_to_hwt(argv: List[str]) -> int:
     out = ai.get("outputfilename") or (
         (inp[:-4] if inp.endswith(".bwt") else inp) + ".hwt")
     log = VerboseLog(ai.get_int("verbose", 1))
+    if _fresh(out, inp) and not ai.get_bool("recreate", False):
+        log.v("%s is up to date (recreate=1 to force)" % out)
+        return 0
     bwt = rl_decode(inp)
     wt = HuffmanWaveletTree.build(bwt)
     wt.write(out)
@@ -55,6 +66,9 @@ def hwt_to_rlhwt(argv: List[str]) -> int:
     base = inp[:-4] if inp.endswith(".bwt") else inp
     out = ai.get("outputfilename") or (base + ".rlhwt")
     log = VerboseLog(ai.get_int("verbose", 1))
+    if _fresh(out, inp) and not ai.get_bool("recreate", False):
+        log.v("%s is up to date (recreate=1 to force)" % out)
+        return 0
     bwt = rl_decode(inp)
     hist = None
     if os.path.exists(base + ".hist"):

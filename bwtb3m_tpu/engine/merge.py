@@ -25,6 +25,7 @@ the virtual mesh suite): same rotation order, same position tie-breaks.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -97,7 +98,14 @@ def _blockwise_bwt_impl(text, sigma, options, log, num_segments,
     m = s
     isa_m_of_m = int(np.flatnonzero(sa_m == m)[0])
 
+    stop_file = options.output_filename + ".stop"
     for bi in range(len(blocks) - 2, -1, -1):
+        if os.path.exists(stop_file):
+            # manual kill switch between folds — the analog of the
+            # reference's "loopscomplete" escape hatch (lcpbit.cpp:965)
+            raise RuntimeError(
+                "stop requested via %s after %d/%d merges"
+                % (stop_file, len(blocks) - 2 - bi, len(blocks) - 1))
         s, e = blocks[bi]
         assert e == m
         sa_b = _sort_block(text, s, e, sigma, lookahead, log)

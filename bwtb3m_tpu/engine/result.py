@@ -61,11 +61,12 @@ class BwtResult:
         with RLReader(self.bwt_path) as r:
             return r.decode_all()
 
-    def load_occ(self, dense: bool = True):
+    def load_occ(self, dense: bool = True, packed: bool = True):
         """Build the device occ/rank structure from .bwt (reference
-        ``res.loadLF`` role). Returns (OccTable, symbol_map or None):
+        ``res.loadLF`` role). Returns (occ table, symbol_map or None):
         when ``dense`` and the alphabet is sparse, symbols are densified
-        and ``symbol_map[dense_id] = original symbol``."""
+        and ``symbol_map[dense_id] = original symbol``. ``packed`` selects
+        the bit-plane popcount structure (bandwidth-optimal)."""
         bwt = self.load_bwt()
         sigma = self.sigma
         symmap = None
@@ -77,7 +78,11 @@ class BwtResult:
                 bwt = remap[bwt]
                 sigma = len(present)
                 symmap = present.astype(np.int64)
-        occt = build_occ(bwt, sigma)
+        if packed and sigma <= 256:
+            from ..ops.rank_packed import build_occ_packed
+            occt = build_occ_packed(bwt, sigma)
+        else:
+            occt = build_occ(bwt, sigma)
         return occt, symmap
 
     def load_preisa(self):

@@ -82,11 +82,16 @@ def build_occ(bwt, sigma: int, block: int = DEFAULT_BLOCK) -> OccTable:
     return _build_occ_jax(bwt, int(sigma), int(block))
 
 
-def rank_batch(occt: OccTable, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+def rank_batch(occt, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     """Batched rank: number of occurrences of c[j] in bwt[0 : i[j]).
 
     c, i: int32 [B]. Returns int32 [B]. Positions i in [0, n].
+    Dispatches to the bit-plane-packed implementation when given a
+    PackedOccTable.
     """
+    from .rank_packed import PackedOccTable, rank_batch_packed
+    if isinstance(occt, PackedOccTable):
+        return rank_batch_packed(occt, c, i)
     block = occt.block
     b = i // block
     base = occt.occ[b, c]
@@ -118,8 +123,11 @@ def rank_all_symbols_batch(occt: OccTable, i: jnp.ndarray) -> jnp.ndarray:
     return base + inblk
 
 
-def access_batch(occt: OccTable, i: jnp.ndarray) -> jnp.ndarray:
+def access_batch(occt, i: jnp.ndarray) -> jnp.ndarray:
     """Batched bwt[i] access."""
+    from .rank_packed import PackedOccTable, access_batch_packed
+    if isinstance(occt, PackedOccTable):
+        return access_batch_packed(occt, i)
     block = occt.block
     b = i // block
     rows = occt.bwt_blocks[jnp.minimum(b, occt.bwt_blocks.shape[0] - 1)]
