@@ -67,7 +67,7 @@ def _sort_block(text: np.ndarray, s: int, e: int, sigma: int,
 
 def blockwise_bwt(symbols: np.ndarray, sigma: int, options: BwtOptions,
                   log: Optional[VerboseLog] = None,
-                  num_segments: int = 256,
+                  num_segments: int = 4096,
                   anchor_lookback: Optional[int] = None
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (sa, isa, bwt) identical to ops.doubling.suffix_array."""

@@ -41,6 +41,12 @@ class BwtOptions:
     def __post_init__(self):
         if self.max_block_symbols is None:
             self.max_block_symbols = min(1 << 27, max(1 << 10, self.mem // 16))
+        # preisa density drives the lane count of every later batched LF
+        # walk (checkbwt / bwtcomputessa): TPU gather throughput scales
+        # with batch width, so default to ~64k lanes for large texts
+        # (the file costs 16 bytes per sample).
+        if self.preisa_sampling_rate is None and self.isa_sampling_rate > 1024:
+            self.preisa_sampling_rate = 1024
         if self.output_filename is None:
             self.output_filename = self.input_path + ".bwt"
         if self.tmp_prefix is None:
