@@ -44,14 +44,14 @@ def _pack_width(sigma: int) -> int:
     return max(1, 32 // bits)
 
 
-def _initial_key(sym: jnp.ndarray, sigma: int, w: int) -> jnp.ndarray:
-    """uint32 key of w circularly-consecutive symbols starting at each i."""
+def _initial_key(sym: jnp.ndarray, sigma: int, w: int, offset: int = 0) -> jnp.ndarray:
+    """uint32 key of w circularly-consecutive symbols starting at i+offset."""
     n = sym.shape[0]
     bits = max(1, math.ceil(math.log2(max(2, sigma))))
     key = jnp.zeros(n, dtype=jnp.uint32)
     u = sym.astype(jnp.uint32)
     for j in range(w):
-        rolled = jnp.roll(u, -j)  # sym[(i+j) mod n]
+        rolled = jnp.roll(u, -(offset + j))  # sym[(i+offset+j) mod n]
         key = (key << bits) | rolled
     return key
 
@@ -68,14 +68,20 @@ def suffix_array_jax(sym: jnp.ndarray, sigma: int) -> Tuple[jnp.ndarray, jnp.nda
     pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
     w = _pack_width(sigma)
 
-    key0 = _initial_key(sym, sigma, w)
-    k_s, p_s = lax.sort((key0, pos), num_keys=1, is_stable=True)
+    # two packed words resolve 2w symbols in the very first sort — for a
+    # random DNA text (w=16) ranks are typically all distinct immediately
+    # and the doubling loop never runs
+    key_hi = _initial_key(sym, sigma, w)
+    key_lo = _initial_key(sym, sigma, w, offset=w)
+    k1_s, k2_s, p_s = lax.sort((key_hi, key_lo, pos), num_keys=2, is_stable=True)
+    changed0 = jnp.logical_or(k1_s[1:] != k1_s[:-1], k2_s[1:] != k2_s[:-1])
     neq = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), (k_s[1:] != k_s[:-1]).astype(jnp.int32)]
+        [jnp.zeros(1, jnp.int32), changed0.astype(jnp.int32)]
     )
     r_s = jnp.cumsum(neq, dtype=jnp.int32)
     rank = jnp.zeros(n, dtype=jnp.int32).at[p_s].set(r_s)
     done0 = r_s[-1] == jnp.int32(n - 1)
+    w = min(2 * w, n)
 
     def cond(carry):
         _rank, _sa, k, done = carry

@@ -81,68 +81,92 @@ def _chain_steps(occt: OccTable, c_first: jnp.ndarray, text_chunk: jnp.ndarray,
     return r, gap
 
 
-@partial(jax.jit, static_argnums=(6,))
+@partial(jax.jit, static_argnums=(7,))
 def _anchor_steps(occt: OccTable, c_first: jnp.ndarray, text_chunk: jnp.ndarray,
                   gt0_chunk: jnp.ndarray, bounds: jnp.ndarray,
-                  consts: jnp.ndarray, chunk: int) -> jnp.ndarray:
+                  active_from: jnp.ndarray, consts: jnp.ndarray,
+                  chunk: int) -> jnp.ndarray:
     """Interval-contraction anchoring: iterate the monotone chain map on
-    lower/upper bounds simultaneously. bounds: int32 [T, 2]."""
+    lower/upper bounds simultaneously. bounds: int32 [T, 2]; lane j only
+    starts stepping at global step index active_from[j] (per-lane lookback
+    clamps)."""
     isa_m, sym_before_m, sym_last, _ = (
         consts[0], consts[1], consts[2], consts[3])
 
-    def body(i, bounds):
+    def body(i, carry):
+        bounds, step0 = carry
         c = text_chunk[:, i]
         g0 = gt0_chunk[:, i]
+        active = (step0 + i) >= active_from
         out = []
         for k in (0, 1):
             r = bounds[:, k]
             rk = rank_batch(occt, c, r)
             corr = jnp.logical_and(isa_m < r, c == sym_before_m).astype(jnp.int32)
             wrap = jnp.logical_and(c == sym_last, g0 == 1).astype(jnp.int32)
-            out.append(c_first[c] + rk - corr + wrap)
-        return jnp.stack(out, axis=1)
+            nr = c_first[c] + rk - corr + wrap
+            out.append(jnp.where(active, nr, r))
+        return (jnp.stack(out, axis=1), step0)
 
-    return lax.fori_loop(0, chunk, body, bounds)
+    bounds, _ = lax.fori_loop(0, chunk, body, (bounds, active_from[0] * 0))
+    return bounds
 
 
 class GapChainRunner:
-    """Host orchestration of the anchored, chunked gap computation."""
+    """Host orchestration of the anchored, chunked gap computation.
 
-    def __init__(self, occt: OccTable, text: np.ndarray, gt0: np.ndarray,
-                 m: int, isa_m: int, chunk: int = 1 << 14):
+    Generalized to an arbitrary right region M = [m, e) (e = n for the
+    rightmost region, where rot_e = rot_0): the recurrence's boundary term
+    then uses text[e-1] and gt_e[x] = [rot_e strictly < rot_x], computed
+    lazily on device for exactly the positions the chains visit
+    (``gt_against``)."""
+
+    def __init__(self, occt: OccTable, text: np.ndarray, m: int, e: int,
+                 isa_m: int, chunk: int = 1 << 14):
         self.occt = occt
         self.text = text
-        self.gt0 = gt0
         self.n = len(text)
         self.m = m
+        self.e = e
         self.isa_m = isa_m
         self.chunk = chunk
-        self.gap_size = occt.n  # |M|
-        # cumulative first-symbol histogram of M's own range text[m:n):
+        self.gap_size = occt.n  # |M| == e - m
+        assert self.gap_size == e - m
+        # lazy gt_e coverage
+        self._gt = np.zeros(self.n, dtype=np.uint8)
+        self._gt_known = np.zeros(self.n, dtype=bool)
+        # cumulative first-symbol histogram of M's own range text[m:e):
         # c_first[c] = number of M rotations starting with a symbol < c.
         # (NOT occt.C: the occ table is over BWT_M, whose chars are the
         # rotations' predecessors, including one from outside M.)
         sigma = occt.sigma
-        first_hist = np.bincount(text[m:], minlength=sigma).astype(np.int64)
+        first_hist = np.bincount(text[m:e], minlength=sigma).astype(np.int64)
         self.c_first = jnp.asarray(
             np.concatenate([[0], np.cumsum(first_hist)]).astype(np.int32))
         self.consts = jnp.asarray(np.array([
             isa_m,
             text[(m - 1) % self.n],
-            text[self.n - 1],
+            text[(e - 1) % self.n],
             self.gap_size,
         ], dtype=np.int32))
 
+    def _gt_at(self, pos: np.ndarray) -> np.ndarray:
+        missing = np.unique(pos[~self._gt_known[pos]])
+        if len(missing):
+            self._gt[missing] = gt_against(self.text, self.e % self.n, missing)
+            self._gt_known[missing] = True
+        return self._gt[pos]
+
     def _chunks(self, starts: np.ndarray, lens: np.ndarray, offset: int,
                 count: int):
-        """Host-side gather of text/gt0 for `count` steps beginning at
+        """Host-side gather of text/gt for `count` steps beginning at
         per-lane step `offset`. Step i of lane j consumes position
         starts[j] - offset - i."""
         T = len(starts)
         steps = offset + np.arange(count)
         pos = (starts[:, None] - steps[None, :]) % self.n  # [T, count]
         return (jnp.asarray(self.text[pos].astype(np.int32)),
-                jnp.asarray(self.gt0[(pos + 1) % self.n].astype(np.int32)))
+                jnp.asarray(self._gt_at((pos + 1) % self.n).astype(np.int32)))
 
     def run_chains(self, starts: np.ndarray, r0: np.ndarray,
                    lens: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -170,20 +194,27 @@ class GapChainRunner:
 
     def anchor(self, starts: np.ndarray, lookback: int) -> Tuple[np.ndarray, np.ndarray]:
         """Compute R(start_j + 1) for each anchor by interval contraction
-        over `lookback` steps beginning at position start_j + lookback.
-        Returns (ranks, resolved_mask)."""
+        over up to `lookback` steps ending at position start_j + 1.
+        Per-lane lookback is clamped so no anchor position reaches e (the
+        strict-gt wrap term's tie handling requires p <= e-1). Returns
+        (ranks, resolved_mask)."""
         T = len(starts)
+        lb = np.minimum(lookback, (self.e - 2) - starts)  # positions <= e-1
+        lb = np.maximum(lb, 1)
+        maxlb = int(lb.max())
         bounds = np.zeros((T, 2), dtype=np.int32)
         bounds[:, 1] = self.gap_size
         b = jnp.asarray(bounds)
+        # lane j consumes positions (start_j + lb_j) down to (start_j + 1):
+        # it runs the final lb_j of the maxlb global steps
+        anchor_starts = starts + maxlb
+        active_from = jnp.asarray((maxlb - lb).astype(np.int32))
         done = 0
-        # the anchor chain consumes positions start_j + lookback, ..., start_j + 1
-        anchor_starts = starts + lookback
-        while done < lookback:
-            count = min(self.chunk, lookback - done)
+        while done < maxlb:
+            count = min(self.chunk, maxlb - done)
             text_chunk, gt0_chunk = self._chunks(anchor_starts, None, done, count)
             b = _anchor_steps(self.occt, self.c_first, text_chunk, gt0_chunk,
-                              b, self.consts, count)
+                              b, active_from - done, self.consts, count)
             done += count
         b_np = np.asarray(b, dtype=np.int64)
         return b_np[:, 0], b_np[:, 0] == b_np[:, 1]
@@ -230,3 +261,59 @@ def compute_gt0(text: np.ndarray) -> np.ndarray:
             # rot_0 < rot_x iff text[lcp] < text[(x+lcp) mod n]
             gt0[x] = 1 if text[lcp] < text[(x + lcp) % n] else 0
     return gt0
+
+
+# --------------------------------------------------------------------------
+# boundary gt vectors for inner merge-tree pairs
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(3,))
+def _gt_compare_chunk(text: jnp.ndarray, a_off: jnp.ndarray, b_off: jnp.ndarray,
+                      chunk: int, lcp: jnp.ndarray, state: jnp.ndarray):
+    """Advance per-lane rotation comparisons by up to `chunk` symbols.
+
+    state: -1 undecided, 0 rot_a >= rot_b decided-greater-or-equal... see
+    gt_against. Returns updated (lcp, state) where state in {-1, 0, 1}:
+    1 = rot_a < rot_b, 0 = rot_a > rot_b, -1 = still equal so far.
+    """
+    n = text.shape[0]
+    j = lax.broadcasted_iota(jnp.int32, (a_off.shape[0], chunk), 1)
+    ai = (a_off[:, None] + lcp[:, None] + j) % n
+    bi = (b_off[:, None] + lcp[:, None] + j) % n
+    av = jnp.take(text, ai)
+    bv = jnp.take(text, bi)
+    neq = av != bv
+    any_neq = jnp.any(neq, axis=1)
+    first = jnp.argmax(neq, axis=1).astype(jnp.int32)
+    a_first = jnp.take_along_axis(av, first[:, None], axis=1)[:, 0]
+    b_first = jnp.take_along_axis(bv, first[:, None], axis=1)[:, 0]
+    newly = jnp.logical_and(state == -1, any_neq)
+    state = jnp.where(newly, (a_first < b_first).astype(jnp.int32), state)
+    lcp = jnp.where(state == -1, lcp + chunk, lcp)
+    return lcp, state
+
+
+def gt_against(text: np.ndarray, e: int, xs: np.ndarray,
+               chunk: int = 256) -> np.ndarray:
+    """gt[x] = 1 iff rotation e is STRICTLY smaller than rotation x, for
+    each x in xs — the boundary oracle for inner merge-tree pairs (the
+    generalization of gt0; the reference's gt-bitvector role, SURVEY.md
+    hard-part 3). Vectorized chunked comparison on device; equal rotations
+    (lcp reaches n) yield 0 (strictness, as in compute_gt0)."""
+    n = len(text)
+    B = len(xs)
+    if B == 0:
+        return np.zeros(0, np.uint8)
+    text_dev = jnp.asarray(np.asarray(text, dtype=np.int32))
+    a_off = jnp.full((B,), int(e) % n, jnp.int32)
+    b_off = jnp.asarray(np.asarray(xs, dtype=np.int32) % n)
+    lcp = jnp.zeros(B, jnp.int32)
+    state = jnp.full(B, -1, jnp.int32)
+    done = 0
+    while done < n:
+        lcp, state = _gt_compare_chunk(text_dev, a_off, b_off, chunk, lcp, state)
+        done += chunk
+        if not bool(np.any(np.asarray(state) == -1)):
+            break
+    st = np.asarray(state)
+    return (st == 1).astype(np.uint8)

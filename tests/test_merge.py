@@ -27,13 +27,14 @@ def _check(tmp_path, text, max_block, sigma=None, segments=4, anchor=32):
     if sigma is None:
         sigma = int(text.max()) + 1
     opts = _opts(tmp_path, max_block)
-    sa_m, isa_m, bwt_m = blockwise_bwt(
-        text, sigma, opts, VerboseLog(0),
-        num_segments=segments, anchor_lookback=anchor)
     sa, isa, bwt = suffix_array(text, sigma)
-    np.testing.assert_array_equal(sa_m, sa)
-    np.testing.assert_array_equal(isa_m, isa)
-    np.testing.assert_array_equal(bwt_m, bwt)
+    for mode in ("tree", "fold"):
+        sa_m, isa_m, bwt_m = blockwise_bwt(
+            text, sigma, opts, VerboseLog(0),
+            num_segments=segments, anchor_lookback=anchor, merge_mode=mode)
+        np.testing.assert_array_equal(sa_m, sa, err_msg="mode=" + mode)
+        np.testing.assert_array_equal(isa_m, isa, err_msg="mode=" + mode)
+        np.testing.assert_array_equal(bwt_m, bwt, err_msg="mode=" + mode)
 
 
 def test_gt0():
