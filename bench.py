@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-N_DEVICE = 1 << 22      # 4 Mbp on-device benchmark text
+N_DEVICE = 1 << 24      # 16 Mbp on-device benchmark text
 N_CPU = 1 << 20         # CPU baseline size (scaled by throughput, not time)
 SIGMA = 4
 REPS = 3
@@ -56,11 +56,13 @@ def main():
     def run():
         sa, _rank = suffix_array_jax(sym, SIGMA)
         bwt = bwt_from_sa(sym, sa)
-        # force full execution (block_until_ready is unreliable via relay)
-        return np.asarray(sa), np.asarray(bwt)
+        # force completion with an 8-byte device->host fetch (fetching the
+        # full arrays measures the relay link, not construction;
+        # block_until_ready is unreliable via the relay)
+        return int(jnp.sum(sa)), int(jnp.sum(bwt)), sa
 
     t0 = time.time()
-    sa, bwt = run()  # warmup / compile (persistent cache)
+    _ck1, _ck2, sa = run()  # warmup / compile (persistent cache)
     warm = time.time() - t0
     times = []
     for _ in range(REPS):
