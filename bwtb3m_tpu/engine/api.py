@@ -51,8 +51,12 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
     # ---- phase 4: outputs ----------------------------------------------
     base = options.base_name
     files = {}
-    with log.span("write .bwt (RLB1)"):
-        rl_encode(options.output_filename, bwt, sigma=sigma)
+    with log.span("write .bwt (%s)" % options.bwt_codec):
+        if options.bwt_codec == "rlh":
+            from ..io.rlh import rlh_encode
+            rlh_encode(options.output_filename, bwt, sigma=sigma)
+        else:
+            rl_encode(options.output_filename, bwt, sigma=sigma)
         files["bwt"] = options.output_filename
 
     hist = np.bincount(bwt, minlength=sigma).astype(np.int64)

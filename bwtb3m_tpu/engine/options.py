@@ -30,6 +30,7 @@ class BwtOptions:
     copy_input_to_memory: bool = False
     large_lcp_thres: int = 16384          # bwtb3m.cpp:55 default
     verbose: int = 1
+    bwt_codec: str = "rl"            # rl (byte-aligned RLB1) | rlh (Huffman+gamma RLH1)
     # TPU-specific knobs (no reference analog):
     # per-device doubling block budget; derived from mem when unset —
     # the reference's mem= bounds the per-block in-RAM sort the same way
@@ -80,4 +81,5 @@ class BwtOptions:
             copy_input_to_memory=ai.get_bool("copyinputtomemory", False),
             large_lcp_thres=ai.get_int("largelcpthres", 16384),
             verbose=ai.get_int("verbose", 1),
+            bwt_codec=ai.get("bwtcodec", "rl"),
         )

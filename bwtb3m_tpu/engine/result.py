@@ -14,7 +14,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..io import formats
-from ..io.rl import RLReader
+from ..io.rl import open_bwt
 from ..ops.rank import OccTable, build_occ
 
 
@@ -58,7 +58,7 @@ class BwtResult:
 
     # ---- loading --------------------------------------------------------
     def load_bwt(self) -> np.ndarray:
-        with RLReader(self.bwt_path) as r:
+        with open_bwt(self.bwt_path) as r:
             return r.decode_all()
 
     def load_occ(self, dense: bool = True, packed: bool = True):

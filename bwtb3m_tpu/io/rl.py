@@ -270,6 +270,19 @@ class RLReader:
         return int(np.count_nonzero(full == c))
 
 
+def open_bwt(path: str):
+    """Open a .bwt file of either codec (RLB1 byte-aligned or RLH1
+    Huffman+gamma) by magic dispatch."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == MAGIC:
+        return RLReader(path)
+    if magic == b"RLH1":
+        from .rlh import RLHReader
+        return RLHReader(path)
+    raise ValueError("unknown .bwt magic %r in %s" % (magic, path))
+
+
 def rl_decode(path: str) -> np.ndarray:
-    with RLReader(path) as r:
+    with open_bwt(path) as r:
         return r.decode_all()

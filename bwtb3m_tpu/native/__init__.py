@@ -68,6 +68,12 @@ def get_lib():
         lib.c_kasai_plcp.argtypes = [p32, p64, i64, p64]
         lib.c_run_scan.argtypes = [p32, i64, p32, p64]
         lib.c_run_scan.restype = i64
+        pu64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        pu32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.c_gamma_decode.argtypes = [pu8, i64, i64, pu64]
+        lib.c_gamma_decode.restype = i64
+        lib.c_rlh_decode.argtypes = [pu8, i64, i64, pu32, pu8, i64, p32, p64]
+        lib.c_rlh_decode.restype = i64
         _lib = lib
         return _lib
 
@@ -118,3 +124,36 @@ def kasai_plcp(text: np.ndarray, sa: np.ndarray) -> Optional[np.ndarray]:
     out = np.zeros(len(text), dtype=np.int64)
     lib.c_kasai_plcp(text, sa, len(text), out)
     return out
+
+
+def gamma_decode(bits: np.ndarray, count: int):
+    """Decode gamma codes from a 0/1 bit array; None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    packed = np.packbits(np.ascontiguousarray(bits, np.uint8),
+                         bitorder="little")
+    out = np.zeros(max(1, count), dtype=np.uint64)
+    used = lib.c_gamma_decode(packed, len(bits), count, out)
+    if used < 0:
+        return None
+    return out[:count]
+
+
+def rlh_decode_runs(payload: bytes, nbits: int, nruns: int,
+                    canon_syms: np.ndarray, canon_lens: np.ndarray):
+    """Decode huffman+gamma run pairs; None if no native lib or error."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = np.frombuffer(payload, dtype=np.uint8)
+    run_syms = np.zeros(max(1, nruns), dtype=np.int32)
+    run_lens = np.zeros(max(1, nruns), dtype=np.int64)
+    used = lib.c_rlh_decode(
+        np.ascontiguousarray(data), nbits, nruns,
+        np.ascontiguousarray(canon_syms, np.uint32),
+        np.ascontiguousarray(canon_lens, np.uint8),
+        len(canon_syms), run_syms, run_lens)
+    if used < 0:
+        return None
+    return run_syms[:nruns], run_lens[:nruns]

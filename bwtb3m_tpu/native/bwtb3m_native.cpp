@@ -232,4 +232,86 @@ int64_t c_run_scan(const int32_t* syms, int64_t n, int32_t* run_syms,
   return k + 1;
 }
 
+// ------------------------------------------------------------- gamma
+
+// Decode `count` Elias-gamma codes from an LSB-first bit stream.
+// Returns bits consumed, or -1 on overrun.
+int64_t c_gamma_decode(const uint8_t* bytes, int64_t nbits, int64_t count,
+                       uint64_t* out) {
+  int64_t i = 0;
+  for (int64_t k = 0; k < count; ++k) {
+    int64_t nz = 0;
+    while (i < nbits && !((bytes[i >> 3] >> (i & 7)) & 1)) { ++nz; ++i; }
+    if (i + nz + 1 > nbits) return -1;
+    uint64_t v = 0;
+    for (int64_t j = 0; j <= nz; ++j) {
+      v = (v << 1) | (uint64_t)((bytes[i >> 3] >> (i & 7)) & 1);
+      ++i;
+    }
+    out[k] = v;
+  }
+  return i;
+}
+
+// ------------------------------------------------- canonical huffman RL
+
+// Decode `nruns` (huffman(sym), gamma(len)) pairs from an LSB-first bit
+// stream. canon_syms/canon_lens are the canonical code table sorted by
+// (length, symbol). Returns bits consumed or -1.
+int64_t c_rlh_decode(const uint8_t* bytes, int64_t nbits, int64_t nruns,
+                     const uint32_t* canon_syms, const uint8_t* canon_lens,
+                     int64_t nsyms, int32_t* run_syms, int64_t* run_lens) {
+  // canonical decode tables per length
+  uint32_t first_code[64] = {0};
+  int64_t offset[64] = {0};
+  int64_t cnt[64] = {0};
+  int maxlen = 0;
+  for (int64_t j = 0; j < nsyms; ++j) {
+    cnt[canon_lens[j]]++;
+    if (canon_lens[j] > maxlen) maxlen = canon_lens[j];
+  }
+  {
+    uint32_t code = 0;
+    int64_t idx = 0;
+    for (int l = 1; l <= maxlen; ++l) {
+      code <<= 1;
+      first_code[l] = code;
+      offset[l] = idx;
+      code += (uint32_t)cnt[l];
+      idx += cnt[l];
+    }
+  }
+  int64_t i = 0;
+  for (int64_t k = 0; k < nruns; ++k) {
+    // huffman symbol: read bits MSB-first until a valid code
+    uint32_t code = 0;
+    int l = 0;
+    int32_t sym = -1;
+    while (l < maxlen + 1) {
+      if (i >= nbits) return -1;
+      code = (code << 1) | (uint32_t)((bytes[i >> 3] >> (i & 7)) & 1);
+      ++i;
+      ++l;
+      if (cnt[l] && code >= first_code[l] &&
+          code < first_code[l] + (uint32_t)cnt[l]) {
+        sym = (int32_t)canon_syms[offset[l] + (code - first_code[l])];
+        break;
+      }
+    }
+    if (sym < 0) return -1;
+    run_syms[k] = sym;
+    // gamma length
+    int64_t nz = 0;
+    while (i < nbits && !((bytes[i >> 3] >> (i & 7)) & 1)) { ++nz; ++i; }
+    if (i + nz + 1 > nbits) return -1;
+    uint64_t v = 0;
+    for (int64_t j = 0; j <= nz; ++j) {
+      v = (v << 1) | (uint64_t)((bytes[i >> 3] >> (i & 7)) & 1);
+      ++i;
+    }
+    run_lens[k] = (int64_t)v;
+  }
+  return i;
+}
+
 }  // extern "C"
