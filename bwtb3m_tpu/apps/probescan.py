@@ -51,6 +51,41 @@ def _evaluate_acc(counts: np.ndarray, log: VerboseLog) -> None:
 def probe_scan(ref_path: str, probes_path: str, mode: str = "hwt",
                k: int = 31) -> int:
     log = VerboseLog(1)
+    if mode == "occ":
+        # TPU-batched mode: every k-mer of every probe is one lane of a
+        # single backward-search sweep (k batched rank queries total) —
+        # the device-scaled version of the hwt mode's per-symbol
+        # LF.step loop (reference probeScanDna.cpp:100-107).
+        import jax.numpy as jnp
+        from ..ops.lf import backward_search_step
+
+        result = BwtResult.load(ref_path)
+        occt, symmap = result.load_occ(dense=True)
+        shift = 1 if result.sigma == 5 else 0
+        names, all_kmers, spans = [], [], []
+        for name, seq in iter_fasta(probes_path):
+            kms = _probe_kmers(seq, k)
+            names.append(name)
+            spans.append((len(all_kmers), len(all_kmers) + len(kms)))
+            all_kmers.extend(kms)
+        if all_kmers:
+            km = jnp.asarray(np.stack(all_kmers).astype(np.int32) + shift)
+            B = km.shape[0]
+            lo = jnp.zeros(B, jnp.int32)
+            hi = jnp.full(B, occt.n, jnp.int32)
+            for j in range(k - 1, -1, -1):
+                lo, hi = backward_search_step(occt, km[:, j], lo, hi)
+            counts_all = np.maximum(np.asarray(hi) - np.asarray(lo), 0)
+        else:
+            counts_all = np.zeros(0, np.int64)
+        for name, (a, b) in zip(names, spans):
+            counts = counts_all[a:b]
+            mean = float(counts.mean()) if len(counts) else 0.0
+            matched = int(np.count_nonzero(counts)) if len(counts) else 0
+            print("%s\t%d\t%d\t%.3f" % (name, len(counts), matched, mean))
+        if len(counts_all):
+            _evaluate_acc(counts_all.astype(np.int64), log)
+        return 0
     if mode in ("hwt", "rlhwt"):
         result = BwtResult.load(ref_path)
         fm = FMIndex.from_bwt_result(

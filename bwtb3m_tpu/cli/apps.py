@@ -17,8 +17,8 @@ def probe_scan_dna(argv: List[str]) -> int:
     ai = ArgInfo(argv, "probeScanDna")
     if len(ai.restargs) < 2:
         sys.stderr.write(
-            "usage: probeScanDna [mode=hwt|rlhwt|words] [k=31] "
-            "<ref.bwt|ref.compact4> <probes.fa>\n")
+            "usage: probeScanDna [mode=occ|hwt|rlhwt|words] [k=31] "
+            "<ref.bwt|ref.compact4> <probes.fa>  (occ = device-batched)\n")
         return 1
     from ..apps.probescan import probe_scan
     return probe_scan(

@@ -40,7 +40,9 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
     log.v("n=%d sigma=%d" % (n, sigma))
 
     # ---- phase 2+3: suffix sort (device) -------------------------------
-    if n <= options.max_block_symbols:
+    use_merge = (options.engine == "merge"
+                 or (options.engine == "auto" and n > options.max_block_symbols))
+    if not use_merge:
         with log.span("device suffix sort (single block, prefix doubling)"):
             sa, isa, bwt = suffix_array(symbols, sigma)
     else:

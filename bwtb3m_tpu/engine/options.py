@@ -31,6 +31,7 @@ class BwtOptions:
     large_lcp_thres: int = 16384          # bwtb3m.cpp:55 default
     verbose: int = 1
     bwt_codec: str = "rl"            # rl (byte-aligned RLB1) | rlh (Huffman+gamma RLH1)
+    engine: str = "auto"             # auto | doubling | merge
     # TPU-specific knobs (no reference analog):
     # per-device doubling block budget; derived from mem when unset —
     # the reference's mem= bounds the per-block in-RAM sort the same way
@@ -82,4 +83,5 @@ class BwtOptions:
             large_lcp_thres=ai.get_int("largelcpthres", 16384),
             verbose=ai.get_int("verbose", 1),
             bwt_codec=ai.get("bwtcodec", "rl"),
+            engine=ai.get("engine", "auto"),
         )

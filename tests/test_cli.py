@@ -218,3 +218,25 @@ def test_allhamdna_cli(tmp_path, capsys):
 
 def test_unknown_tool():
     assert run(["nonsense"]) == 1
+
+
+def test_probescan_occ_mode(tmp_path, capsys):
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, 1000, dtype=np.int32)
+    pacp = str(tmp_path / "o.pac")
+    from bwtb3m_tpu.io.pac import write_pac as _wp
+    _wp(pacp, codes)
+    assert run(["bwtb3m", "inputtype=pacterm", "verbose=0", pacp]) == 0
+    bases = "ACGT"
+    probes = [("e1", "".join(bases[c] for c in codes[200:220])),
+              ("e2", "".join(bases[(c + 1) % 4] for c in codes[200:230]))]
+    fa = str(tmp_path / "probes.fa")
+    _write_fasta(fa, probes)
+    assert run(["probeScanDna", "mode=occ", "k=20", pacp + ".bwt", fa]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # occ mode counts must equal hwt mode counts
+    assert run(["probeScanDna", "mode=hwt", "k=20", pacp + ".bwt", fa]) == 0
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert out[:2] == out2[:2]
+    # exact probe found once
+    assert out[0].split("\t")[2] == "1"
