@@ -9,7 +9,7 @@ reporting abundance histogram columns (``evaluateAcc``, :32-53).
 from __future__ import annotations
 
 import sys
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

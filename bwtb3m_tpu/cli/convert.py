@@ -16,7 +16,7 @@ from ..index.bwa import rewrite as bwa_rewrite
 from ..index.dnarank import DNARank
 from ..index.wavelet import HuffmanWaveletTree, RLHuffmanWaveletTree
 from ..io import compact, formats
-from ..io.rl import RLReader, rl_decode
+from ..io.rl import rl_decode
 from ..util.args import ArgInfo
 from ..util.log import VerboseLog
 from . import tool

@@ -7,7 +7,6 @@ digitsToCompact, bytestreamToLz4, decodecompact.
 
 from __future__ import annotations
 
-import os
 import sys
 from typing import List
 

@@ -9,7 +9,6 @@ sparsetmpprefix, copyinputtomemory, largelcpthres=16384, verbose.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Optional
 
 from ..util.args import ArgInfo

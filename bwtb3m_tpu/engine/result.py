@@ -8,14 +8,13 @@ The reference returns a manifest naming the produced files and offers
 
 from __future__ import annotations
 
-import os
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
 from ..io import formats
 from ..io.rl import open_bwt
-from ..ops.rank import OccTable, build_occ
+from ..ops.rank import build_occ
 
 
 class BwtResult:

@@ -14,7 +14,7 @@ whose segment is exhausted keeps stepping but its comparisons are masked.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

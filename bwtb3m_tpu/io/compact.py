@@ -19,7 +19,6 @@ j>>3, bit j&7.
 
 from __future__ import annotations
 
-import os
 from typing import BinaryIO, Tuple
 
 import numpy as np

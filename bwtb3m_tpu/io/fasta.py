@@ -8,7 +8,6 @@ Behavioural analog of the reference's ``fastx::StreamFastAReader`` /
 from __future__ import annotations
 
 import gzip
-import io
 from typing import Iterator, Tuple
 
 

@@ -37,7 +37,6 @@ rank queries at arbitrary positions need only one block decode.
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import numpy as np

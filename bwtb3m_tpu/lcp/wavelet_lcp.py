@@ -12,7 +12,6 @@ between SA[i] and SA[i-1]; ulcp[0] = 0).
 
 from __future__ import annotations
 
-import sys
 from typing import Tuple
 
 import numpy as np

@@ -24,8 +24,6 @@ Structure (from ops/rank_packed.build_occ_packed):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

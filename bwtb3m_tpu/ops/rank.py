@@ -18,13 +18,9 @@ variant is the planned Pallas upgrade). The alphabet must be dense
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax, tree_util
 
 DEFAULT_BLOCK = 128

@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import socket
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 _SIZE_SUFFIX = {
     "k": 1024,

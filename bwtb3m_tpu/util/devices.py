@@ -11,7 +11,7 @@ device.
 from __future__ import annotations
 
 import os
-from contextlib import contextmanager, nullcontext
+from contextlib import nullcontext
 
 DEFAULT_THRESHOLD = 2 << 20
 
