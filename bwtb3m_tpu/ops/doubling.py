@@ -123,6 +123,10 @@ def suffix_array(symbols: np.ndarray, sigma: int) -> Tuple[np.ndarray, np.ndarra
     ISA files store.
     """
     n = len(symbols)
+    if n >= 2 ** 31:
+        raise ValueError(
+            "single-chip doubling supports n < 2^31 (int32 rank space); "
+            "use the sharded engine across a mesh for larger texts")
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.int32)

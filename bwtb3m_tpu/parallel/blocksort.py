@@ -65,6 +65,29 @@ def merge_split_round(
     return tuple(out)
 
 
+def _bitonic_merge_split(
+    arrs: Tuple[jnp.ndarray, ...], j: int, k: int, D: int, axis: str
+) -> Tuple[jnp.ndarray, ...]:
+    """One bitonic comparator step: shard s exchanges with s^j; the pair
+    keeps (low, high) halves oriented by bit k of the lower index."""
+    s = lax.axis_index(axis)
+    perm = [(i, i ^ j) for i in range(D)]
+    received = tuple(lax.ppermute(a, axis, perm) for a in arrs)
+    merged = lax.sort(
+        tuple(jnp.concatenate([a, r]) for a, r in zip(arrs, received)),
+        num_keys=len(arrs),
+        is_stable=False,
+    )
+    K = arrs[0].shape[0]
+    partner = s ^ j
+    ascending = (s & k) == 0
+    keep_low = (s < partner) == ascending
+    out = []
+    for m in merged:
+        out.append(jnp.where(keep_low, m[:K], m[K:]))
+    return tuple(out)
+
+
 def distributed_sort(
     arrs: Sequence[jnp.ndarray], num_keys: int, D: int, axis: str
 ) -> Tuple[jnp.ndarray, ...]:
@@ -75,11 +98,25 @@ def distributed_sort(
     unique for a deterministic result. Returns per-shard views of the
     globally sorted arrays (shard s holds global sorted positions
     [s*K, (s+1)*K)).
+
+    Power-of-two meshes use a bitonic block network (log^2 D merge-split
+    steps); other sizes fall back to odd-even transposition (D steps).
+    Both are valid by the 0-1 principle over sorted blocks with
+    merge-split comparators.
     """
     arrs = tuple(arrs)
     # local pre-sort establishes the invariant
     arrs = lax.sort(arrs, num_keys=num_keys, is_stable=False)
     if D == 1:
+        return arrs
+    if D & (D - 1) == 0:
+        k = 2
+        while k <= D:
+            j = k // 2
+            while j >= 1:
+                arrs = _bitonic_merge_split(arrs, j, k, D, axis)
+                j //= 2
+            k *= 2
         return arrs
     for t in range(D):
         arrs = merge_split_round(arrs, t % 2, D, axis)

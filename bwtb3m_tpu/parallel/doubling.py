@@ -155,6 +155,10 @@ def suffix_array_sharded(
     """
     D = mesh.devices.size
     n = len(symbols)
+    if n >= 2 ** 31:
+        raise ValueError(
+            "int32 rank space supports n < 2^31; the int64 rank path is a "
+            "planned extension")
     if n % D != 0:
         raise ValueError("text length %d not divisible by mesh size %d" % (n, D))
     K = n // D
