@@ -257,11 +257,16 @@ def bytestream_to_lz4(argv: List[str]) -> int:
     (reference bytestreamToLz4.cpp:33-45; 64k blocks)."""
     ai = ArgInfo(argv, "bytestreamToLz4")
     block = ai.get_int("blocksize", 1 << 16)
-    if len(ai.restargs) >= 1:
-        data = open(ai.restargs[0], "rb").read()
-        out = ai.get("outputfilename") or (ai.restargs[0] + ".lz4")
-    else:
+    if not ai.restargs:
+        sys.stderr.write(
+            "usage: bytestreamToLz4 [blocksize=64k] [outputfilename=..] "
+            "<in | -(stdin)>\n")
+        return 1
+    if ai.restargs[0] == "-":
         data = sys.stdin.buffer.read()
         out = ai.get("outputfilename") or "/dev/stdout"
+    else:
+        data = open(ai.restargs[0], "rb").read()
+        out = ai.get("outputfilename") or (ai.restargs[0] + ".lz4")
     write_lz4_stream(out, data, block_size=block)
     return 0

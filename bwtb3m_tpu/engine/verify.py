@@ -70,6 +70,19 @@ def _check_bwt_impl(result: BwtResult, text: np.ndarray,
         seg_len[0] = n
     assert seg_len.sum() == n, (seg_len.sum(), n)
 
+    # persist the walk-segment records — the role of the reference's
+    # .preisa.checkinfo thread-split file (checkbwt.cpp:60-115): triples
+    # (segment length, start position, start rank) per lane
+    try:
+        info = np.empty((len(positions), 3), dtype="<u8")
+        info[:, 0] = seg_len
+        info[:, 1] = positions
+        info[:, 2] = ranks
+        with open(result.preisa_path + ".checkinfo", "wb") as f:
+            f.write(info.tobytes())
+    except OSError:
+        pass  # read-only locations: the check itself proceeds
+
     steps = int(seg_len.max())
     text_dev = jnp.asarray(np.asarray(text, dtype=np.int32))
     r0 = jnp.asarray(ranks.astype(np.int32))

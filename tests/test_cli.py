@@ -240,3 +240,16 @@ def test_probescan_occ_mode(tmp_path, capsys):
     assert out[:2] == out2[:2]
     # exact probe found once
     assert out[0].split("\t")[2] == "1"
+
+
+def test_every_tool_usage_line():
+    """Arg-less invocation of every registered tool prints usage and exits
+    nonzero without crashing (the whole 29-tool surface)."""
+    from bwtb3m_tpu.cli import TOOLS, load_all
+    load_all()
+    assert len(TOOLS) >= 29, sorted(TOOLS)
+    for name, fn in sorted(TOOLS.items()):
+        if name == "lcpbit":
+            continue  # bare `lcpbit` would print usage; `-test` runs long
+        rc = dispatch([name])
+        assert rc == 1, "tool %s should print usage and return 1, got %r" % (name, rc)
