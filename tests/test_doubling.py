@@ -57,3 +57,18 @@ def test_long_runs():
     s = np.concatenate([np.zeros(200, np.int32), np.ones(100, np.int32),
                         np.zeros(50, np.int32), [2]])
     _check(s)
+
+
+def test_ls_matches_jax_variant():
+    """The tie-compacted engine path and the single-graph variant agree."""
+    import jax.numpy as jnp
+    from bwtb3m_tpu.ops.doubling import (bwt_from_sa, suffix_array_jax,
+                                         suffix_array_ls)
+    for seed, sigma in [(0, 4), (1, 2), (2, 256)]:
+        text = random_string(700, sigma, seed=seed)
+        sa1, _ = suffix_array_jax(jnp.asarray(text), sigma)
+        sa2, bwt2 = suffix_array_ls(text, sigma)
+        np.testing.assert_array_equal(np.asarray(sa1), np.asarray(sa2))
+        np.testing.assert_array_equal(
+            np.asarray(bwt_from_sa(jnp.asarray(text), sa1)),
+            np.asarray(bwt2))
