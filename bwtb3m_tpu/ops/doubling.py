@@ -172,28 +172,8 @@ def _heads_and_tied(flags: jnp.ndarray):
     return heads, jnp.logical_not(singleton)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _ls_initial(sym: jnp.ndarray, sigma: int):
-    """Initial 2w-symbol sort with head-index ranks. Returns
-    (rank, tied mask, k)."""
-    n = sym.shape[0]
-    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
-    w = _pack_width(sigma)
-    key_hi = _initial_key(sym, sigma, w)
-    key_lo = _initial_key(sym, sigma, w, offset=w)
-    k1_s, k2_s, p_s = lax.sort((key_hi, key_lo, pos), num_keys=2, is_stable=True)
-    flags = jnp.concatenate(
-        [jnp.ones(1, dtype=bool),
-         jnp.logical_or(k1_s[1:] != k1_s[:-1], k2_s[1:] != k2_s[:-1])])
-    heads, tied_s = _heads_and_tied(flags)
-    rank = jnp.zeros(n, jnp.int32).at[p_s].set(heads)
-    tied = jnp.zeros(n, dtype=bool).at[p_s].set(tied_s)
-    return rank, tied, min(2 * w, n)
-
-
-@partial(jax.jit, static_argnums=(3, 4))
-def _ls_partial_round(rank: jnp.ndarray, tied: jnp.ndarray, k, B: int, n: int):
-    """Re-rank only tied positions (padded selection of static size B)."""
+def _ls_round_core(rank, tied, k, B: int, n: int):
+    """One compacted re-ranking pass over <= B tied positions."""
     sel = jnp.nonzero(tied, size=B, fill_value=n)[0].astype(jnp.int32)
     valid = sel < n
     selc = jnp.minimum(sel, n - 1)
@@ -212,13 +192,59 @@ def _ls_partial_round(rank: jnp.ndarray, tied: jnp.ndarray, k, B: int, n: int):
     new_rank_s = r1s + (sub_start - grp_start)
     _heads, tied_s = _heads_and_tied(sub_flags)
     rank = rank.at[ps].set(new_rank_s, mode="drop")
-    tied = tied.at[ps].set(tied_s, mode="drop")
-    return rank, tied, jnp.sum(tied)
+    tied = tied.at[ps].set(jnp.logical_and(tied_s, ps < n), mode="drop")
+    return rank, tied
 
 
-@partial(jax.jit, static_argnums=())
-def _ls_finish(sym: jnp.ndarray, rank: jnp.ndarray):
-    """Final SA (ties by position) + BWT from head-index ranks."""
+@partial(jax.jit, static_argnums=(3, 4))
+def _ls_rounds(rank: jnp.ndarray, tied: jnp.ndarray, k, B: int, n: int):
+    """Run compacted rounds in a device-side while loop at fixed bucket B,
+    exiting when done or when the tied set has shrunk enough that a
+    smaller bucket is worthwhile (host re-buckets). Avoids per-round
+    host syncs, which dominate on remote-attached devices."""
+
+    def cond(carry):
+        _rank, _tied, k, tc = carry
+        small = jnp.logical_and(tc * 8 <= B, B > 2048)
+        return jnp.logical_and(jnp.logical_and(tc > 0, k < n),
+                               jnp.logical_not(small))
+
+    def body(carry):
+        rank, tied, k, _tc = carry
+        rank, tied = _ls_round_core(rank, tied, k, B, n)
+        return (rank, tied, jnp.minimum(k * 2, n), jnp.sum(tied).astype(jnp.int32))
+
+    tc0 = jnp.sum(tied).astype(jnp.int32)
+    rank, tied, k, tc = lax.while_loop(cond, body, (rank, tied, k, tc0))
+    return rank, tied, k, tc
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _ls_phase1(sym: jnp.ndarray, sigma: int):
+    """Initial sort + optimistic finish: for texts resolved by the first
+    2w symbols (random DNA) this single dispatch produces the SA/BWT."""
+    rank, tied, _k = _ls_initial_core(sym, sigma)
+    sa, bwt = _ls_finish_core(sym, rank)
+    return sa, bwt, rank, tied, jnp.sum(tied).astype(jnp.int32)
+
+
+def _ls_initial_core(sym: jnp.ndarray, sigma: int):
+    n = sym.shape[0]
+    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    w = _pack_width(sigma)
+    key_hi = _initial_key(sym, sigma, w)
+    key_lo = _initial_key(sym, sigma, w, offset=w)
+    k1_s, k2_s, p_s = lax.sort((key_hi, key_lo, pos), num_keys=2, is_stable=True)
+    flags = jnp.concatenate(
+        [jnp.ones(1, dtype=bool),
+         jnp.logical_or(k1_s[1:] != k1_s[:-1], k2_s[1:] != k2_s[:-1])])
+    heads, tied_s = _heads_and_tied(flags)
+    rank = jnp.zeros(n, jnp.int32).at[p_s].set(heads)
+    tied = jnp.zeros(n, dtype=bool).at[p_s].set(tied_s)
+    return rank, tied, min(2 * w, n)
+
+
+def _ls_finish_core(sym: jnp.ndarray, rank: jnp.ndarray):
     n = sym.shape[0]
     pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
     _r, sa = lax.sort((rank, pos), num_keys=1, is_stable=True)
@@ -226,22 +252,32 @@ def _ls_finish(sym: jnp.ndarray, rank: jnp.ndarray):
     return sa, jnp.take(sym, prev)
 
 
+@partial(jax.jit, static_argnums=())
+def _ls_finish(sym: jnp.ndarray, rank: jnp.ndarray):
+    return _ls_finish_core(sym, rank)
+
+
 def suffix_array_ls(symbols: np.ndarray, sigma: int):
     """Tie-compacted circular suffix sort. Returns (sa, bwt) device arrays.
 
-    Host-driven round loop: one scalar (tied count) crosses the device
-    boundary per round; sort sizes are power-of-two buckets.
+    One device dispatch resolves random texts (initial sort + finish);
+    repetitive texts run device-side while loops of compacted rounds at
+    host-chosen power-of-two bucket sizes (one scalar sync per bucket
+    stage, not per round — remote-device sync latency dominates
+    otherwise).
     """
     sym = jnp.asarray(np.asarray(symbols, dtype=np.int32))
-    n = sym.shape[0]
-    rank, tied, k = _ls_initial(sym, int(sigma))
-    tied_count = int(jnp.sum(tied))
-    while tied_count > 0 and k < n:
-        B = 1 << max(10, int(math.ceil(math.log2(max(2, tied_count)))))
-        if B * 2 >= n:
-            B = 1 << int(math.ceil(math.log2(n)))
+    n = int(sym.shape[0])
+    w = _pack_width(int(sigma))
+    sa, bwt, rank, tied, tc = _ls_phase1(sym, int(sigma))
+    T = int(tc)
+    k = min(2 * w, n)
+    if T == 0 or k >= n:
+        return sa, bwt
+    while T > 0 and k < n:
+        B = 1 << max(11, int(math.ceil(math.log2(max(2, T)))))
         B = min(B, 1 << int(math.ceil(math.log2(max(2, n)))))
-        rank, tied, tc = _ls_partial_round(rank, tied, jnp.int32(k), B, n)
-        tied_count = int(tc)
-        k *= 2
+        rank, tied, k_dev, tc = _ls_rounds(rank, tied, jnp.int32(k), B, n)
+        T = int(tc)
+        k = int(k_dev)
     return _ls_finish(sym, rank)
