@@ -121,15 +121,18 @@ class GapChainRunner:
     lazily on device for exactly the positions the chains visit
     (``gt_against``)."""
 
+    # per-chunk host->device staging budget (text + gt arrays, bytes)
+    TRANSFER_BUDGET = 64 << 20
+
     def __init__(self, occt: OccTable, text: np.ndarray, m: int, e: int,
-                 isa_m: int, chunk: int = 1 << 14):
+                 isa_m: int, chunk: int = 0):
         self.occt = occt
         self.text = text
         self.n = len(text)
         self.m = m
         self.e = e
         self.isa_m = isa_m
-        self.chunk = chunk
+        self.chunk = chunk  # 0 = adaptive per lane count (see _auto_chunk)
         self.gap_size = occt.n  # |M| == e - m
         assert self.gap_size == e - m
         # lazy gt_e coverage
@@ -149,6 +152,12 @@ class GapChainRunner:
             text[(e - 1) % self.n],
             self.gap_size,
         ], dtype=np.int32))
+
+    def _auto_chunk(self, T: int) -> int:
+        if self.chunk:
+            return self.chunk
+        per_step_bytes = max(1, T) * 8  # int32 text + int32 gt per lane
+        return max(1024, min(1 << 14, self.TRANSFER_BUDGET // per_step_bytes))
 
     def _gt_at(self, pos: np.ndarray) -> np.ndarray:
         missing = np.unique(pos[~self._gt_known[pos]])
@@ -178,11 +187,12 @@ class GapChainRunner:
         """
         T = len(starts)
         max_len = int(lens.max()) if T else 0
+        chunk = self._auto_chunk(T)
         gap = jnp.zeros(self.gap_size + 2, jnp.int32)  # +slack for drop idx
         r = jnp.asarray(r0.astype(np.int32))
         done = 0
         while done < max_len:
-            count = min(self.chunk, max_len - done)
+            count = min(chunk, max_len - done)
             text_chunk, gt0_chunk = self._chunks(starts, lens, done, count)
             active = jnp.asarray(
                 np.minimum(np.maximum(lens - done, 0), count).astype(np.int32))
@@ -209,9 +219,10 @@ class GapChainRunner:
         # it runs the final lb_j of the maxlb global steps
         anchor_starts = starts + maxlb
         active_from = jnp.asarray((maxlb - lb).astype(np.int32))
+        chunk = self._auto_chunk(T)
         done = 0
         while done < maxlb:
-            count = min(self.chunk, maxlb - done)
+            count = min(chunk, maxlb - done)
             text_chunk, gt0_chunk = self._chunks(anchor_starts, None, done, count)
             b = _anchor_steps(self.occt, self.c_first, text_chunk, gt0_chunk,
                               b, active_from - done, self.consts, count)
