@@ -253,3 +253,18 @@ def test_every_tool_usage_line():
             continue  # bare `lcpbit` would print usage; `-test` runs long
         rc = dispatch([name])
         assert rc == 1, "tool %s should print usage and return 1, got %r" % (name, rc)
+
+
+def test_probescan_words_mode(tmp_path, capsys):
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, 600, dtype=np.int32)
+    ref = str(tmp_path / "w.compact")
+    compact.write_compact(ref, codes, 2)
+    bases = "ACGT"
+    probe = "".join(bases[c] for c in codes[100:115])
+    fa = str(tmp_path / "wp.fa")
+    _write_fasta(fa, [("w1", probe)])
+    assert run(["probeScanDna", "mode=words", "k=15", ref, fa]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[0]
+    _name, nk, matched, _mean = line.split("\t")
+    assert int(nk) == 1 and int(matched) == 1
