@@ -133,12 +133,18 @@ def suffix_array(symbols: np.ndarray, sigma: int) -> Tuple[np.ndarray, np.ndarra
     if n == 1:
         return (np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int64),
                 np.asarray(symbols, dtype=np.int32))
+    import os
     from ..util.devices import device_scope
     with device_scope(n):
-        # tie-compacted host-driven rounds (suffix_array_ls); the pure
-        # single-graph variant (suffix_array_jax) remains for fully
-        # jittable consumers
-        sa_dev, bwt_dev = suffix_array_ls(symbols, int(sigma))
+        if os.environ.get("BWTB3M_SORT") == "ls":
+            # tie-compacted variant: wins when the tied fraction collapses
+            # quickly; measured slower than the single-graph path on both
+            # random and repeat-rich 16M DNA on v5e (BENCH.md), so opt-in
+            sa_dev, bwt_dev = suffix_array_ls(symbols, int(sigma))
+        else:
+            sym_dev = jnp.asarray(np.asarray(symbols, dtype=np.int32))
+            sa_dev, _rank = suffix_array_jax(sym_dev, int(sigma))
+            bwt_dev = bwt_from_sa(sym_dev, sa_dev)
         sa = np.asarray(jax.device_get(sa_dev), dtype=np.int64)
         bwt = np.asarray(jax.device_get(bwt_dev), dtype=np.int32)
     isa = np.zeros(n, dtype=np.int64)
