@@ -77,11 +77,27 @@ class BwtResult:
                 bwt = remap[bwt]
                 sigma = len(present)
                 symmap = present.astype(np.int64)
+        # ship the BWT to the device bit-packed (k-bit) and unpack there:
+        # host->device transfer is 8/bits x smaller, which dominates for
+        # remote-attached devices at 100M+ symbols
+        import math as _math
+
+        import jax.numpy as jnp
+
+        from ..io.compact import pack_bits
+        from ..ops.pack import unpack_bits_device
+
+        bits = max(1, _math.ceil(_math.log2(max(2, sigma))))
+        if bits <= 8:
+            packed_bytes = pack_bits(bwt, bits)
+            bwt_dev = unpack_bits_device(jnp.asarray(packed_bytes), bits, len(bwt))
+        else:
+            bwt_dev = jnp.asarray(bwt.astype(np.int32))
         if packed and sigma <= 256:
             from ..ops.rank_packed import build_occ_packed
-            occt = build_occ_packed(bwt, sigma)
+            occt = build_occ_packed(bwt_dev, sigma)
         else:
-            occt = build_occ(bwt, sigma)
+            occt = build_occ(bwt_dev, sigma)
         return occt, symmap
 
     def load_preisa(self):
