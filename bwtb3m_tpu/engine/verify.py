@@ -84,7 +84,17 @@ def _check_bwt_impl(result: BwtResult, text: np.ndarray,
         pass  # read-only locations: the check itself proceeds
 
     steps = int(seg_len.max())
-    text_dev = jnp.asarray(np.asarray(text, dtype=np.int32))
+    # ship the text bit-packed when the (densified) alphabet is small
+    import math as _math
+    sigma_t = int(np.asarray(text).max()) + 1 if n else 1
+    bits = max(1, _math.ceil(_math.log2(max(2, sigma_t))))
+    if bits <= 8:
+        from ..io.compact import pack_bits
+        from ..ops.pack import unpack_bits_device
+        text_dev = unpack_bits_device(
+            jnp.asarray(pack_bits(np.asarray(text, np.int64), bits)), bits, n)
+    else:
+        text_dev = jnp.asarray(np.asarray(text, dtype=np.int32))
     r0 = jnp.asarray(ranks.astype(np.int32))
     p0 = jnp.asarray(positions.astype(np.int32))
     lens = jnp.asarray(seg_len.astype(np.int32))
