@@ -305,26 +305,32 @@ def _gt_compare_chunk(text: jnp.ndarray, a_off: jnp.ndarray, b_off: jnp.ndarray,
 
 
 def gt_against(text: np.ndarray, e: int, xs: np.ndarray,
-               chunk: int = 256) -> np.ndarray:
+               chunk: int = 128, batch: int = 1 << 18) -> np.ndarray:
     """gt[x] = 1 iff rotation e is STRICTLY smaller than rotation x, for
     each x in xs — the boundary oracle for inner merge-tree pairs (the
     generalization of gt0; the reference's gt-bitvector role, SURVEY.md
-    hard-part 3). Vectorized chunked comparison on device; equal rotations
-    (lcp reaches n) yield 0 (strictness, as in compute_gt0)."""
+    hard-part 3). Vectorized chunked comparison on device, processed in
+    bounded lane batches (the compare scratch is [batch, chunk]); equal
+    rotations (lcp reaches n) yield 0 (strictness, as in compute_gt0)."""
     n = len(text)
-    B = len(xs)
-    if B == 0:
+    total = len(xs)
+    if total == 0:
         return np.zeros(0, np.uint8)
     text_dev = jnp.asarray(np.asarray(text, dtype=np.int32))
-    a_off = jnp.full((B,), int(e) % n, jnp.int32)
-    b_off = jnp.asarray(np.asarray(xs, dtype=np.int32) % n)
-    lcp = jnp.zeros(B, jnp.int32)
-    state = jnp.full(B, -1, jnp.int32)
-    done = 0
-    while done < n:
-        lcp, state = _gt_compare_chunk(text_dev, a_off, b_off, chunk, lcp, state)
-        done += chunk
-        if not bool(np.any(np.asarray(state) == -1)):
-            break
-    st = np.asarray(state)
-    return (st == 1).astype(np.uint8)
+    out = np.zeros(total, np.uint8)
+    for base in range(0, total, batch):
+        part = np.asarray(xs[base : base + batch], dtype=np.int32) % n
+        B = len(part)
+        a_off = jnp.full((B,), int(e) % n, jnp.int32)
+        b_off = jnp.asarray(part)
+        lcp = jnp.zeros(B, jnp.int32)
+        state = jnp.full(B, -1, jnp.int32)
+        done = 0
+        while done < n:
+            lcp, state = _gt_compare_chunk(text_dev, a_off, b_off, chunk,
+                                           lcp, state)
+            done += chunk
+            if not bool(np.any(np.asarray(state) == -1)):
+                break
+        out[base : base + B] = (np.asarray(state) == 1).astype(np.uint8)
+    return out
