@@ -268,3 +268,22 @@ def test_probescan_words_mode(tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[0]
     _name, nk, matched, _mean = line.split("\t")
     assert int(nk) == 1 and int(matched) == 1
+
+
+def test_allhamdna_unmapped_and_n_reads(tmp_path, capsys):
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, 400, dtype=np.int32)
+    pacp = str(tmp_path / "u.pac")
+    write_pac(pacp, codes)
+    assert run(["bwtb3m", "inputtype=pacterm", "sasamplingrate=8",
+                "isasamplingrate=8", "verbose=0", pacp]) == 0
+    fa = str(tmp_path / "ur.fa")
+    _write_fasta(fa, [("miss", "A" * 25), ("withn", "ACGTN" * 5)])
+    assert run(["allHamDna", "maxmis=0", pacp + ".bwt", fa]) == 0
+    out = capsys.readouterr().out
+    # the A-homopolymer read is almost surely unmapped (flag 4)
+    assert any(l.startswith("miss\t4\t") for l in out.splitlines()) or \
+        any(l.startswith("miss\t0\t") for l in out.splitlines())
+    # reads containing N are skipped without crashing
+    assert "withn" not in [l.split("\t")[0] for l in out.splitlines()
+                           if "\t0\tref" in l]
