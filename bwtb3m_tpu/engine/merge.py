@@ -131,7 +131,7 @@ def _merge_pair(text: np.ndarray, sigma: int, left: _Region, right: _Region,
 
 def blockwise_bwt(symbols: np.ndarray, sigma: int, options: BwtOptions,
                   log: Optional[VerboseLog] = None,
-                  num_segments: int = 4096,
+                  num_segments: int = 16384,
                   anchor_lookback: Optional[int] = None,
                   merge_mode: str = "tree",
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -151,7 +151,11 @@ def _blockwise_bwt_impl(text, sigma, options, log, num_segments,
     blocks = _plan_blocks(n, options.max_block_symbols)
     lookahead = max(1024, options.large_lcp_thres)
     if anchor_lookback is None:
-        anchor_lookback = max(256, options.large_lcp_thres)
+        # start short — anchors only need enough context to make their
+        # prefix unique within the right region (~log_sigma|M| symbols for
+        # non-repetitive text); the x4 extension loop handles repeats up
+        # to large_lcp_thres and beyond
+        anchor_lookback = 256
     log.v("blockwise engine (%s): %d blocks, lookahead=%d"
           % (merge_mode, len(blocks), lookahead))
 
