@@ -38,7 +38,10 @@ _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.expanduser("~/.cache/bwtb3m_tpu_xla"),
 )
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# CPU compiles are seconds (and CPU AOT cached on one machine can
+# SIGILL on another — the relay compile host differs); only cache the
+# expensive TPU compilations.
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 
 def _enable_jax_cache() -> None:
@@ -50,7 +53,7 @@ def _enable_jax_cache() -> None:
             "jax_compilation_cache_dir",
             _os.environ["JAX_COMPILATION_CACHE_DIR"],
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
