@@ -40,15 +40,24 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
     log.v("n=%d sigma=%d" % (n, sigma))
 
     # ---- phase 2+3: suffix sort (device) -------------------------------
-    use_merge = (options.engine == "merge"
-                 or (options.engine == "auto" and n > options.max_block_symbols))
-    if not use_merge:
-        with log.span("device suffix sort (single block, prefix doubling)"):
-            sa, isa, bwt = suffix_array(symbols, sigma)
-    else:
+    if options.engine == "sharded":
+        import jax
+
+        from ..parallel import make_mesh, sharded_bwt
+        ndev = len(jax.devices())
+        d = max(dd for dd in range(1, ndev + 1) if n % dd == 0)
+        with log.span("device suffix sort (sharded, %d devices)" % d):
+            sa, _rank, bwt = sharded_bwt(symbols, sigma, make_mesh(d))
+            isa = np.zeros(n, dtype=np.int64)
+            isa[sa] = np.arange(n, dtype=np.int64)
+    elif (options.engine == "merge"
+          or (options.engine == "auto" and n > options.max_block_symbols)):
         from .merge import blockwise_bwt  # deferred import, heavier path
         with log.span("device suffix sort (blockwise merge)"):
             sa, isa, bwt = blockwise_bwt(symbols, sigma, options, log)
+    else:
+        with log.span("device suffix sort (single block, prefix doubling)"):
+            sa, isa, bwt = suffix_array(symbols, sigma)
 
     # ---- phase 4: outputs ----------------------------------------------
     base = options.base_name

@@ -60,3 +60,15 @@ def test_mesh_sizes():
         sad, _r, bwtd = sharded_bwt(text, 4, mesh)
         np.testing.assert_array_equal(sad, sa1)
         np.testing.assert_array_equal(bwtd, bwt1)
+
+
+def test_engine_sharded_mode(tmp_path, mesh8):
+    from bwtb3m_tpu.engine import BwtOptions, check_bwt, compute_bwt
+    data = bytes((random_string(2048, 4, seed=3) + 97).astype(np.uint8))
+    inp = tmp_path / "sh.bin"
+    inp.write_bytes(data)
+    res = compute_bwt(BwtOptions(input_path=str(inp), engine="sharded",
+                                 preisa_sampling_rate=256, verbose=0))
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    assert check_bwt(res, text)
+    np.testing.assert_array_equal(res.load_bwt(), naive_bwt(text))
