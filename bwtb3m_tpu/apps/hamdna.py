@@ -123,20 +123,25 @@ def all_ham_dna(bwt_path: str, reads_path: str, maxmis: int = 2,
         m = len(codes)
         found = False
         for strand, pat in ((0, codes), (16, _revcomp(codes))):
-            for lo, hi, _nm in hamming_search(fm, pat, maxmis):
-                for r in range(lo, hi):
-                    pos = fm.locate(r)
-                    if pos + m > ref_len:  # spans the terminator: not a hit
-                        continue
-                    ref_win = ref_codes[pos : pos + m]
-                    md, nm = _md_and_nm(ref_win, pat)
-                    read_str = "".join(_BASES[int(c)] for c in pat)
-                    out.write(
-                        "%s\t%d\tref\t%d\t255\t%dM\t*\t0\t0\t%s\t*\tNM:i:%d\tMD:Z:%s\n"
-                        % (name, strand, pos + 1, m, read_str, nm, md)
-                    )
-                    nhits += 1
-                    found = True
+            intervals = hamming_search(fm, pat, maxmis)
+            all_ranks = np.concatenate(
+                [np.arange(lo, hi) for lo, hi, _nm in intervals]
+            ) if intervals else np.zeros(0, np.int64)
+            if not len(all_ranks):
+                continue
+            positions = fm.locate_batch(all_ranks)  # all hits walk together
+            read_str = "".join(_BASES[int(c)] for c in pat)
+            for pos in sorted(int(p) for p in positions):
+                if pos + m > ref_len:  # spans the terminator: not a hit
+                    continue
+                ref_win = ref_codes[pos : pos + m]
+                md, nm = _md_and_nm(ref_win, pat)
+                out.write(
+                    "%s\t%d\tref\t%d\t255\t%dM\t*\t0\t0\t%s\t*\tNM:i:%d\tMD:Z:%s\n"
+                    % (name, strand, pos + 1, m, read_str, nm, md)
+                )
+                nhits += 1
+                found = True
         if not found:
             out.write("%s\t4\t*\t0\t0\t*\t*\t0\t0\t%s\t*\n"
                       % (name, seq.decode()))

@@ -66,11 +66,15 @@ class FMIndex:
                 self.C[c] + self.ranker.rank(c, hi))
 
     def extended_lf(self, r):
-        """(sym, LF(r)) — one backwards step of the decode walk."""
+        """(sym, LF(r)) — one backwards step of the decode walk (batched)."""
         r = np.atleast_1d(np.asarray(r, dtype=np.int64))
         if isinstance(self.ranker, DNARank):
             sym = self.ranker.symbol(r)
-            rk = np.array([self.ranker.rank(int(s), int(i)) for s, i in zip(sym, r)])
+            rk = np.zeros(len(r), dtype=np.int64)
+            for c in range(4):
+                mask = sym == c
+                if mask.any():
+                    rk[mask] = self.ranker.rank(c, r[mask])
         else:
             sym, rk = self.ranker.inverse_select(r)
         return sym, self.C[sym] + rk
@@ -104,9 +108,24 @@ class FMIndex:
             steps += 1
         return int((self.sa.values[r // self.sa.rate] + steps) % self.n)
 
+    def locate_batch(self, ranks) -> np.ndarray:
+        """Text positions for a batch of ranks — all walks step together
+        (the ILP lesson of bwttestdecodespeed, host-side)."""
+        if self.sa is None:
+            raise ValueError("no sampled SA attached")
+        r = np.asarray(ranks, dtype=np.int64).copy()
+        steps = np.zeros(len(r), dtype=np.int64)
+        rate = self.sa.rate
+        active = (r % rate) != 0
+        while active.any():
+            _sym, r2 = self.extended_lf(r[active])
+            r[active] = r2
+            steps[active] += 1
+            active = (r % rate) != 0
+        return (self.sa.values[r // rate] + steps) % self.n
+
     def locate_range(self, lo: int, hi: int) -> np.ndarray:
-        return np.array(sorted(self.locate(r) for r in range(lo, hi)),
-                        dtype=np.int64)
+        return np.sort(self.locate_batch(np.arange(lo, hi)))
 
     def extract(self, start: int, length: int) -> np.ndarray:
         """Decode text[start : start+length] (circular) from the index —
