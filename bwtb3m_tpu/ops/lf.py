@@ -20,21 +20,47 @@ from jax import lax
 from .rank import OccTable, access_batch, rank_batch
 
 
-def lf_step_batch(occt: OccTable, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def lf_step_batch(occt, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extended LF for a batch of ranks: returns (sym, r') with
-    r' = C[sym] + rank(sym, r) — one backwards step of every lane's walk."""
-    sym = access_batch(occt, r)
-    r2 = occt.C[sym] + rank_batch(occt, sym, r)
-    return sym, r2
+    r' = C[sym] + rank(sym, r) — one backwards step of every lane's walk.
+
+    Fused formulation: ONE block-row gather feeds symbol extraction, the
+    in-block count, and (with a second occ-row gather) the checkpoint and
+    C lookups, all via compare-mask selects — element gathers are the TPU
+    latency floor (BENCH.md)."""
+    from .rank import _select_col
+    from .rank_packed import PackedOccTable, lf_step_batch_packed
+    if isinstance(occt, PackedOccTable):
+        return lf_step_batch_packed(occt, r)
+    block = occt.block
+    b = r // block
+    bsafe = jnp.minimum(b, occt.bwt_blocks.shape[0] - 1)
+    rows = jnp.take(occt.bwt_blocks, bsafe, axis=0)   # [B, block]
+    off = r - b * block
+    sym = _select_col(rows, off)
+    occ_rows = jnp.take(occt.occ, b, axis=0)          # [B, sigma]
+    base = _select_col(occ_rows, sym)
+    col = lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    inblk = jnp.sum(
+        jnp.logical_and(rows == sym[:, None], col < off[:, None]).astype(jnp.int32),
+        axis=1)
+    csel = _select_col(
+        jnp.broadcast_to(occt.C[None, : occt.sigma], (r.shape[0], occt.sigma)),
+        sym)
+    return sym, csel + base + inblk
 
 
 def backward_search_step(
-    occt: OccTable, c: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray
+    occt, c: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched FM backward-search step: interval of suffixes prefixed by
     c · current-pattern. lo/hi are half-open rank intervals."""
-    lo2 = occt.C[c] + rank_batch(occt, c, lo)
-    hi2 = occt.C[c] + rank_batch(occt, c, hi)
+    from .rank import _select_col
+    csel = _select_col(
+        jnp.broadcast_to(occt.C[None, : occt.sigma], (c.shape[0], occt.sigma)),
+        c)
+    lo2 = csel + rank_batch(occt, c, lo)
+    hi2 = csel + rank_batch(occt, c, hi)
     return lo2, hi2
 
 

@@ -78,20 +78,33 @@ def build_occ(bwt, sigma: int, block: int = DEFAULT_BLOCK) -> OccTable:
     return _build_occ_jax(bwt, int(sigma), int(block))
 
 
+def _select_col(rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """rows[j, idx[j]] via compare-mask sum — avoids an element gather
+    (on TPU a dependent element gather costs ~0.25 ms per 16K lanes while
+    compare+reduce over a row-gathered block is pure VPU work; BENCH.md
+    LF-floor experiment)."""
+    col = lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    return jnp.sum(jnp.where(col == idx[:, None], rows,
+                             jnp.zeros_like(rows)), axis=1)
+
+
 def rank_batch(occt, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     """Batched rank: number of occurrences of c[j] in bwt[0 : i[j]).
 
     c, i: int32 [B]. Returns int32 [B]. Positions i in [0, n].
     Dispatches to the bit-plane-packed implementation when given a
-    PackedOccTable.
+    PackedOccTable. Uses only row gathers + mask-selects (no element
+    gathers — see _select_col).
     """
     from .rank_packed import PackedOccTable, rank_batch_packed
     if isinstance(occt, PackedOccTable):
         return rank_batch_packed(occt, c, i)
     block = occt.block
     b = i // block
-    base = occt.occ[b, c]
-    rows = occt.bwt_blocks[jnp.minimum(b, occt.bwt_blocks.shape[0] - 1)]  # [B, block]
+    bsafe = jnp.minimum(b, occt.bwt_blocks.shape[0] - 1)
+    occ_rows = jnp.take(occt.occ, b, axis=0)        # [B, sigma] row gather
+    base = _select_col(occ_rows, c)
+    rows = jnp.take(occt.bwt_blocks, bsafe, axis=0)  # [B, block] row gather
     off = i - b * block
     col = lax.broadcasted_iota(jnp.int32, rows.shape, 1)
     inblk = jnp.sum(
@@ -120,15 +133,16 @@ def rank_all_symbols_batch(occt: OccTable, i: jnp.ndarray) -> jnp.ndarray:
 
 
 def access_batch(occt, i: jnp.ndarray) -> jnp.ndarray:
-    """Batched bwt[i] access."""
+    """Batched bwt[i] access (row gather + mask-select)."""
     from .rank_packed import PackedOccTable, access_batch_packed
     if isinstance(occt, PackedOccTable):
         return access_batch_packed(occt, i)
     block = occt.block
     b = i // block
-    rows = occt.bwt_blocks[jnp.minimum(b, occt.bwt_blocks.shape[0] - 1)]
+    rows = jnp.take(occt.bwt_blocks,
+                    jnp.minimum(b, occt.bwt_blocks.shape[0] - 1), axis=0)
     off = i - b * block
-    return jnp.take_along_axis(rows, off[:, None], axis=1)[:, 0]
+    return _select_col(rows, off)
 
 
 def occ_total_counts(occt: OccTable) -> jnp.ndarray:

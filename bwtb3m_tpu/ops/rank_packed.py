@@ -109,33 +109,60 @@ def _prefix_mask(off: jnp.ndarray, W: int) -> jnp.ndarray:
     return mask
 
 
+def _select_col_i32(rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    col = lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    return jnp.sum(jnp.where(col == idx[:, None], rows,
+                             jnp.zeros_like(rows)), axis=1)
+
+
 def rank_batch_packed(occt: PackedOccTable, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     b = i // BLOCK
     bsafe = jnp.minimum(b, occt.planes.shape[0] - 1)
-    words = occt.planes[bsafe]            # [B, P, W]
-    base = occt.occ[b, c]
+    words = occt.planes[bsafe]            # [B, P, W] row gather
+    occ_rows = jnp.take(occt.occ, b, axis=0)  # [B, sigma] row gather
+    base = _select_col_i32(occ_rows, c)   # no element gather (latency floor)
     match = _match_words(occt, words, c)  # [B, W]
     mask = _prefix_mask(i - b * BLOCK, _WPB)
     cnt = jnp.sum(lax.population_count(match & mask), axis=1).astype(jnp.int32)
     return base + cnt
 
 
-def access_batch_packed(occt: PackedOccTable, i: jnp.ndarray) -> jnp.ndarray:
-    b = i // BLOCK
-    bsafe = jnp.minimum(b, occt.planes.shape[0] - 1)
-    words = occt.planes[bsafe]            # [B, P, W]
-    off = i - b * BLOCK
+def _extract_sym(occt: PackedOccTable, words: jnp.ndarray,
+                 off: jnp.ndarray) -> jnp.ndarray:
+    """Symbol at in-block offset `off` from plane words [B, P, W] via
+    mask-select (no element gathers)."""
     w = off // 32
     bit = (off % 32).astype(jnp.uint32)
-    sym = jnp.zeros(i.shape[0], jnp.int32)
-    sel = jnp.take_along_axis(
-        words, w[:, None, None].repeat(occt.nplanes, axis=1), axis=2
-    )[:, :, 0]  # [B, P]
+    col = lax.broadcasted_iota(jnp.int32, (words.shape[0], _WPB), 1)
+    wmask = (col == w[:, None])
+    sym = jnp.zeros(off.shape[0], jnp.int32)
     for j in range(occt.nplanes):
-        sym = sym | (((sel[:, j] >> bit) & jnp.uint32(1)).astype(jnp.int32) << j)
+        wordj = jnp.sum(jnp.where(wmask, words[:, j, :],
+                                  jnp.zeros_like(words[:, j, :])), axis=1)
+        sym = sym | (((wordj >> bit) & jnp.uint32(1)).astype(jnp.int32) << j)
     return sym
 
 
+def access_batch_packed(occt: PackedOccTable, i: jnp.ndarray) -> jnp.ndarray:
+    b = i // BLOCK
+    bsafe = jnp.minimum(b, occt.planes.shape[0] - 1)
+    words = occt.planes[bsafe]            # [B, P, W] row gather
+    return _extract_sym(occt, words, i - b * BLOCK)
+
+
 def lf_step_batch_packed(occt: PackedOccTable, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    sym = access_batch_packed(occt, r)
-    return sym, occt.C[sym] + rank_batch_packed(occt, sym, r)
+    """Fused: one plane-row gather + one occ-row gather per step."""
+    b = r // BLOCK
+    bsafe = jnp.minimum(b, occt.planes.shape[0] - 1)
+    words = occt.planes[bsafe]            # [B, P, W]
+    off = r - b * BLOCK
+    sym = _extract_sym(occt, words, off)
+    occ_rows = jnp.take(occt.occ, b, axis=0)
+    base = _select_col_i32(occ_rows, sym)
+    match = _match_words(occt, words, sym)
+    mask = _prefix_mask(off, _WPB)
+    cnt = jnp.sum(lax.population_count(match & mask), axis=1).astype(jnp.int32)
+    csel = _select_col_i32(
+        jnp.broadcast_to(occt.C[None, : occt.sigma], (r.shape[0], occt.sigma)),
+        sym)
+    return sym, csel + base + cnt
