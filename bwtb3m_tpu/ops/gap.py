@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .rank import OccTable, rank_batch
+from .rank import OccTable, _select_col, rank_batch
 
 
 @partial(jax.jit, static_argnums=(7,))
@@ -67,7 +67,9 @@ def _chain_steps(occt: OccTable, c_first: jnp.ndarray, text_chunk: jnp.ndarray,
         c = text_chunk[:, i]
         g0 = gt0_chunk[:, i]
         active = i < active_len
-        cnt_lt = c_first[c]  # M rotations whose first symbol < c
+        # mask-select instead of element gather (TPU latency floor)
+        cnt_lt = _select_col(
+            jnp.broadcast_to(c_first[None, :], (c.shape[0], c_first.shape[0])), c)
         rk = rank_batch(occt, c, r)
         corr = jnp.logical_and(isa_m < r, c == sym_before_m).astype(jnp.int32)
         wrap = jnp.logical_and(c == sym_last, g0 == 1).astype(jnp.int32)
@@ -99,12 +101,14 @@ def _anchor_steps(occt: OccTable, c_first: jnp.ndarray, text_chunk: jnp.ndarray,
         g0 = gt0_chunk[:, i]
         active = (step0 + i) >= active_from
         out = []
+        cnt_lt = _select_col(
+            jnp.broadcast_to(c_first[None, :], (c.shape[0], c_first.shape[0])), c)
         for k in (0, 1):
             r = bounds[:, k]
             rk = rank_batch(occt, c, r)
             corr = jnp.logical_and(isa_m < r, c == sym_before_m).astype(jnp.int32)
             wrap = jnp.logical_and(c == sym_last, g0 == 1).astype(jnp.int32)
-            nr = c_first[c] + rk - corr + wrap
+            nr = cnt_lt + rk - corr + wrap
             out.append(jnp.where(active, nr, r))
         return (jnp.stack(out, axis=1), step0)
 
