@@ -74,7 +74,13 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
     formats.write_hist(base + ".hist", formats.hist_from_array(hist))
     files["hist"] = base + ".hist"
 
-    prate = max(1, min(options.preisa_sampling_rate, n))
+    prate = options.preisa_sampling_rate
+    if prate is None:
+        # adaptive: ~128k walk lanes, power-of-two, within [32, isa rate]
+        target = max(1, n // (1 << 17))
+        prate = 1 << max(5, (target - 1).bit_length())
+        prate = min(prate, max(32, options.isa_sampling_rate))
+    prate = max(1, min(prate, n))
     ppos = np.arange(0, n, prate, dtype=np.int64)
     formats.write_preisa(base + ".preisa", isa[ppos], ppos, prate)
     files["preisa"] = base + ".preisa"

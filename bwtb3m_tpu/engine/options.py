@@ -43,19 +43,16 @@ class BwtOptions:
         if self.max_block_symbols is None:
             self.max_block_symbols = min(1 << 27, max(1 << 10, self.mem // 16))
         # preisa density drives the lane count of every later batched LF
-        # walk (checkbwt / bwtcomputessa): TPU gather throughput scales
-        # with batch width, so default to ~64k lanes for large texts
-        # (the file costs 16 bytes per sample).
-        if self.preisa_sampling_rate is None and self.isa_sampling_rate > 1024:
-            self.preisa_sampling_rate = 1024
+        # walk (checkbwt / bwtcomputessa): TPU walk throughput scales with
+        # batch width (BENCH.md), so when unset the engine picks a rate
+        # targeting ~128k lanes at construction time (None = adaptive).
         if self.output_filename is None:
             self.output_filename = self.input_path + ".bwt"
         if self.tmp_prefix is None:
             self.tmp_prefix = self.output_filename + "_tmp"
         if self.sparse_tmp_prefix is None:
             self.sparse_tmp_prefix = self.tmp_prefix + "_sparse"
-        if self.preisa_sampling_rate is None:
-            self.preisa_sampling_rate = self.isa_sampling_rate
+
 
     @property
     def base_name(self) -> str:
