@@ -80,4 +80,6 @@ class BwtOptions:
             verbose=ai.get_int("verbose", 1),
             bwt_codec=ai.get("bwtcodec", "rl"),
             engine=ai.get("engine", "auto"),
+            preisa_sampling_rate=(
+                ai.get_int("preisasamplingrate", 0) or None),
         )
