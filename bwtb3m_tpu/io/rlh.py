@@ -26,7 +26,7 @@ import numpy as np
 
 from ..index.huffman import HuffmanTree
 from ..util import serial
-from .bits import gamma_decode, pack_bitstream, unpack_bitstream
+from .bits import pack_bitstream, unpack_bitstream
 from .rl import DEFAULT_BLOCK, _run_starts
 
 MAGIC = b"RLH1"

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .rank import OccTable, access_batch, rank_batch
+from .rank import OccTable, rank_batch
 
 
 def lf_step_batch(occt, r: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -17,7 +17,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax, tree_util
 
 BLOCK = 128

@@ -65,7 +65,6 @@ def make_global_text_array(local_text: np.ndarray, n: int, mesh, axis: str = "d"
     """Assemble a globally-sharded device array from each host's local
     contiguous text shard (jax.make_array_from_process_local_data)."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(axis))
