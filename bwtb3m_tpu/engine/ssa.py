@@ -165,3 +165,19 @@ def compute_isa_from_preisa(
     formats.write_sampled_array(isa_path, isa_sampling_rate, isa_vals)
     log.v("wrote %s (%d values)" % (isa_path, len(isa_vals)))
     return isa_path
+
+
+def select_ssa(bwt_path: str, ranks: np.ndarray,
+               log: Optional[VerboseLog] = None) -> np.ndarray:
+    """SA values for an arbitrary set of ranks — ``BwtSelectSSA``
+    equivalent (/root/reference/src/lcpbit.cpp:53,2423-2435: bitvector of
+    wanted ranks -> (rank, pos) pairs). All requested ranks walk the LF
+    map together to the nearest sampled SA entry."""
+    from ..index.fm import FMIndex
+
+    result = BwtResult.load(bwt_path)
+    if result.sa_path is None:
+        raise ValueError("select_ssa needs a sampled .sa (bwtonly=0 run "
+                         "or bwtcomputessa first)")
+    fm = FMIndex.from_bwt_result(result, structure="hwt")
+    return fm.locate_batch(np.asarray(ranks, dtype=np.int64))

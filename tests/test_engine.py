@@ -122,3 +122,17 @@ def test_result_reload(tmp_path):
     res2 = BwtResult.load(res.bwt_path)
     assert res2.n == len(data)
     np.testing.assert_array_equal(res2.load_bwt(), res.load_bwt())
+
+
+def test_select_ssa(tmp_path):
+    from bwtb3m_tpu.engine.ssa import select_ssa
+    rng = np.random.default_rng(17)
+    data = bytes(rng.integers(97, 101, size=1200, dtype=np.uint8))
+    inp = _write_bytes(tmp_path, data, "sel.bin")
+    res = compute_bwt(BwtOptions(input_path=inp, sa_sampling_rate=16,
+                                 isa_sampling_rate=16, verbose=0))
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    sa = naive_circular_sa(text)
+    wanted = rng.integers(0, len(text), 40)
+    got = select_ssa(res.bwt_path, wanted)
+    np.testing.assert_array_equal(got, sa[wanted])
