@@ -195,3 +195,41 @@ def test_bwa_export(tmp_path):
     assert p2 == primary and seq_len == len(codes) and sa_intv == 32
     sa = naive_circular_sa(text)
     np.testing.assert_array_equal(vals, sa[::32][1:])
+
+
+def test_wavelet_sparse_large_symbols(tmp_path):
+    # unicode-codepoint-like sparse alphabets (utf-8 input type)
+    rng = np.random.default_rng(31)
+    alphabet = np.array([97, 233, 956, 8364, 28450], dtype=np.int64)  # a é μ € 漢
+    syms = alphabet[rng.integers(0, len(alphabet), 1500)]
+    wt = HuffmanWaveletTree.build(syms)
+    np.testing.assert_array_equal(wt.decode_all(), syms)
+    for c in alphabet:
+        qs = np.array([0, 100, 1500])
+        ref = np.array([np.count_nonzero(syms[:q] == c) for q in qs])
+        np.testing.assert_array_equal(wt.rank(int(c), qs), ref)
+    path = str(tmp_path / "u.hwt")
+    wt.write(path)
+    wt2 = HuffmanWaveletTree.read(path)
+    np.testing.assert_array_equal(wt2.decode_all(), syms)
+
+
+def test_fm_backward_search_wide_alphabet(tmp_path):
+    # engine + FM search over a utf-8 text
+    from bwtb3m_tpu.engine import BwtOptions, compute_bwt
+    text = ("αβγδ εζηθ ικλμ " * 40) + "νξοπ"
+    p = tmp_path / "g.txt"
+    p.write_text(text, encoding="utf-8")
+    res = compute_bwt(BwtOptions(input_path=str(p), input_type="utf-8",
+                                 sa_sampling_rate=8, isa_sampling_rate=8,
+                                 preisa_sampling_rate=64, verbose=0))
+    fm = FMIndex.from_bwt_result(res, structure="hwt")
+    codes = np.array([ord(c) for c in text], dtype=np.int64)
+    pat = codes[5:12]
+    lo, hi = fm.backward_search(pat)
+    naive = sum(1 for i in range(len(codes))
+                if np.array_equal(np.take(codes, (i + np.arange(7)) % len(codes)), pat))
+    assert hi - lo == naive
+    np.testing.assert_array_equal(np.sort(fm.locate_batch(np.arange(lo, hi)) % len(codes)),
+                                  np.sort([i for i in range(len(codes))
+                                           if np.array_equal(np.take(codes, (i + np.arange(7)) % len(codes)), pat)]))
