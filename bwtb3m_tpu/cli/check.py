@@ -14,7 +14,7 @@ from ..engine.result import BwtResult
 from ..engine.verify import check_bwt
 from ..index.fm import FMIndex
 from ..io.inputtypes import parse_input_type
-from ..io.rl import RLReader
+from ..io.rl import open_bwt
 from ..util.args import ArgInfo
 from ..util.log import VerboseLog
 from . import tool
@@ -48,7 +48,7 @@ def bwtb3m_decode_rl(argv: List[str]) -> int:
         sys.stderr.write("usage: bwtb3mdecoderl [format=bytestream|utf-8] <in.bwt>\n")
         return 1
     fmt = ai.get("format", "bytestream")
-    with RLReader(ai.restargs[0]) as r:
+    with open_bwt(ai.restargs[0]) as r:
         out = sys.stdout.buffer
         for b in range(r.nb):
             block = r.decode_block(b)

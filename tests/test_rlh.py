@@ -90,3 +90,13 @@ def test_engine_rlh_codec(tmp_path):
     assert check_bwt(res, text)
     from oracle import naive_bwt
     np.testing.assert_array_equal(res.load_bwt(), naive_bwt(text))
+
+
+def test_decoder_cli_rlh(tmp_path, capsysbinary):
+    from bwtb3m_tpu.cli import dispatch
+    sym = np.repeat([65, 66, 67], [10, 5, 20]).astype(np.int32)
+    p = str(tmp_path / "r.bwt")
+    rlh_encode(p, sym, sigma=256)
+    assert dispatch(["bwtb3mdecoderl", p]) == 0
+    out = capsysbinary.readouterr().out
+    assert out == sym.astype(np.uint8).tobytes()
