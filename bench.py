@@ -47,15 +47,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bwtb3m_tpu.ops.doubling import bwt_from_sa, suffix_array_jax
+    from bwtb3m_tpu.ops.doubling import suffix_sa_bwt_jax
 
     rng = np.random.default_rng(0)
     sym_np = rng.integers(0, SIGMA, N_DEVICE, dtype=np.int32)
     sym = jnp.asarray(sym_np)
 
     def run():
-        sa, _rank = suffix_array_jax(sym, SIGMA)
-        bwt = bwt_from_sa(sym, sa)
+        sa, bwt = suffix_sa_bwt_jax(sym, SIGMA)
         # force completion with an 8-byte device->host fetch (fetching the
         # full arrays measures the relay link, not construction;
         # block_until_ready is unreliable via the relay)

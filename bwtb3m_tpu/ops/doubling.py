@@ -44,6 +44,35 @@ def _pack_width(sigma: int) -> int:
     return max(1, 32 // bits)
 
 
+def _initial_key_pair(sym: jnp.ndarray, sigma: int, w: int):
+    """(key_hi, key_lo): packed words of symbols [i, i+w) and [i+w, i+2w).
+
+    Fast path when w*bits == 32 (bits in {1,2,4,8}): pack aligned groups
+    of w symbols once ([n/w, w] weighted sum), then produce every sliding
+    window by combining two adjacent aligned words with a broadcast shift
+    — 2 memory passes instead of w rolls. key_lo is a roll of key_hi.
+    """
+    n = sym.shape[0]
+    bits = max(1, math.ceil(math.log2(max(2, sigma))))
+    if w * bits == 32 and n % w == 0:
+        u = sym.astype(jnp.uint32)
+        mat = u.reshape(n // w, w)
+        weights = (jnp.uint32(1) << (jnp.uint32(bits) * jnp.arange(
+            w - 1, -1, -1, dtype=jnp.uint32)))[None, :]
+        A = jnp.sum(mat * weights, axis=1, dtype=jnp.uint32)  # aligned words
+        Anext = jnp.roll(A, -1)
+        r = jnp.arange(w, dtype=jnp.uint32)[None, :] * jnp.uint32(bits)
+        # window starting at i = w*k + j: high part from A[k], low from A[k+1]
+        key_mat = jnp.where(
+            r == 0, A[:, None],
+            (A[:, None] << r) | (Anext[:, None] >> (jnp.uint32(32) - r)))
+        key_hi = key_mat.reshape(n)
+        key_lo = jnp.roll(key_hi, -w)
+        return key_hi, key_lo
+    return (_initial_key(sym, sigma, w),
+            _initial_key(sym, sigma, w, offset=w))
+
+
 def _initial_key(sym: jnp.ndarray, sigma: int, w: int, offset: int = 0) -> jnp.ndarray:
     """uint32 key of w circularly-consecutive symbols starting at i+offset."""
     n = sym.shape[0]
@@ -71,8 +100,7 @@ def suffix_array_jax(sym: jnp.ndarray, sigma: int) -> Tuple[jnp.ndarray, jnp.nda
     # two packed words resolve 2w symbols in the very first sort — for a
     # random DNA text (w=16) ranks are typically all distinct immediately
     # and the doubling loop never runs
-    key_hi = _initial_key(sym, sigma, w)
-    key_lo = _initial_key(sym, sigma, w, offset=w)
+    key_hi, key_lo = _initial_key_pair(sym, sigma, w)
     k1_s, k2_s, p_s = lax.sort((key_hi, key_lo, pos), num_keys=2, is_stable=True)
     changed0 = jnp.logical_or(k1_s[1:] != k1_s[:-1], k2_s[1:] != k2_s[:-1])
     neq = jnp.concatenate(
@@ -143,8 +171,7 @@ def suffix_array(symbols: np.ndarray, sigma: int) -> Tuple[np.ndarray, np.ndarra
             sa_dev, bwt_dev = suffix_array_ls(symbols, int(sigma))
         else:
             sym_dev = jnp.asarray(np.asarray(symbols, dtype=np.int32))
-            sa_dev, _rank = suffix_array_jax(sym_dev, int(sigma))
-            bwt_dev = bwt_from_sa(sym_dev, sa_dev)
+            sa_dev, bwt_dev = suffix_sa_bwt_jax(sym_dev, int(sigma))
         sa = np.asarray(jax.device_get(sa_dev), dtype=np.int64)
         bwt = np.asarray(jax.device_get(bwt_dev), dtype=np.int32)
     isa = np.zeros(n, dtype=np.int64)
@@ -238,8 +265,7 @@ def _ls_initial_core(sym: jnp.ndarray, sigma: int):
     n = sym.shape[0]
     pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
     w = _pack_width(sigma)
-    key_hi = _initial_key(sym, sigma, w)
-    key_lo = _initial_key(sym, sigma, w, offset=w)
+    key_hi, key_lo = _initial_key_pair(sym, sigma, w)
     k1_s, k2_s, p_s = lax.sort((key_hi, key_lo, pos), num_keys=2, is_stable=True)
     flags = jnp.concatenate(
         [jnp.ones(1, dtype=bool),
@@ -287,3 +313,52 @@ def suffix_array_ls(symbols: np.ndarray, sigma: int):
         T = int(tc)
         k = int(k_dev)
     return _ls_finish(sym, rank)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def suffix_sa_bwt_jax(sym: jnp.ndarray, sigma: int):
+    """(sa, bwt) with the rank scatter skipped when the initial 2w-symbol
+    sort already resolves every rotation (the common case for real DNA):
+    the 16M-element scatter costs more than the sort itself on TPU."""
+    n = sym.shape[0]
+    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    w = _pack_width(sigma)
+    key_hi, key_lo = _initial_key_pair(sym, sigma, w)
+    k1_s, k2_s, p_s = lax.sort((key_hi, key_lo, pos), num_keys=2, is_stable=True)
+    changed0 = jnp.logical_or(k1_s[1:] != k1_s[:-1], k2_s[1:] != k2_s[:-1])
+    neq = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), changed0.astype(jnp.int32)])
+    r_s = jnp.cumsum(neq, dtype=jnp.int32)
+    done0 = r_s[-1] == jnp.int32(n - 1)
+    w2 = min(2 * w, n)
+
+    def resolved(_):
+        return p_s
+
+    def unresolved(_):
+        rank = jnp.zeros(n, dtype=jnp.int32).at[p_s].set(r_s)
+
+        def cond(carry):
+            _rank, _sa, k, done = carry
+            return jnp.logical_and(jnp.logical_not(done), k < n)
+
+        def body(carry):
+            rank, _sa, k, _done = carry
+            idx2 = jnp.where(pos + k >= n, pos + k - n, pos + k)
+            r2 = jnp.take(rank, idx2)
+            r1_s, r2_s, ps = lax.sort((rank, r2, pos), num_keys=2,
+                                      is_stable=True)
+            chg = jnp.logical_or(r1_s[1:] != r1_s[:-1], r2_s[1:] != r2_s[:-1])
+            nq = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), chg.astype(jnp.int32)])
+            nr_s = jnp.cumsum(nq, dtype=jnp.int32)
+            nrank = jnp.zeros(n, dtype=jnp.int32).at[ps].set(nr_s)
+            return (nrank, ps, k * 2, nr_s[-1] == jnp.int32(n - 1))
+
+        _rank, sa, _k, _done = lax.while_loop(
+            cond, body, (rank, p_s, jnp.int32(w2), jnp.asarray(False)))
+        return sa
+
+    sa = lax.cond(done0, resolved, unresolved, None)
+    prev = jnp.where(sa == 0, n - 1, sa - 1)
+    return sa, jnp.take(sym, prev)
