@@ -39,17 +39,25 @@ def _window_order(window: jnp.ndarray, sigma: int, pad_high: bool) -> jnp.ndarra
     pad_val = jnp.uint32(sigma + 1 if pad_high else 0)
     u = window.astype(jnp.uint32) + 1
 
-    key = jnp.zeros(W, dtype=jnp.uint32)
-    for j in range(w):
-        shifted = jnp.concatenate(
-            [u[j:], jnp.full((j,), pad_val, jnp.uint32)]) if j else u
-        key = (key << bits) | shifted
-    k_s, p_s = lax.sort((key, pos), num_keys=1, is_stable=True)
+    def packed_key(offset: int) -> jnp.ndarray:
+        key = jnp.zeros(W, dtype=jnp.uint32)
+        for j in range(w):
+            o = offset + j
+            shifted = jnp.concatenate(
+                [u[o:], jnp.full((o,), pad_val, jnp.uint32)]) if o else u
+            key = (key << bits) | shifted
+        return key
+
+    # two packed words resolve 2w symbols before any doubling round
+    k1_s, k2_s, p_s = lax.sort(
+        (packed_key(0), packed_key(w), pos), num_keys=2, is_stable=True)
+    changed = jnp.logical_or(k1_s[1:] != k1_s[:-1], k2_s[1:] != k2_s[:-1])
     neq = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), (k_s[1:] != k_s[:-1]).astype(jnp.int32)])
+        [jnp.zeros(1, jnp.int32), changed.astype(jnp.int32)])
     r_s = jnp.cumsum(neq, dtype=jnp.int32)
     rank = jnp.zeros(W, dtype=jnp.int32).at[p_s].set(r_s)
     pad_rank = jnp.int32(W + 1 if pad_high else -1)
+    w = min(2 * w, max(W, 1))
 
     def cond(carry):
         _r, _sa, k, done = carry
