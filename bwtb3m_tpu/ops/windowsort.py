@@ -42,7 +42,7 @@ def _window_order(window: jnp.ndarray, sigma: int, pad_high: bool) -> jnp.ndarra
     def packed_key(offset: int) -> jnp.ndarray:
         key = jnp.zeros(W, dtype=jnp.uint32)
         for j in range(w):
-            o = offset + j
+            o = min(offset + j, W)  # fully-past-end shifts are all padding
             shifted = jnp.concatenate(
                 [u[o:], jnp.full((o,), pad_val, jnp.uint32)]) if o else u
             key = (key << bits) | shifted
