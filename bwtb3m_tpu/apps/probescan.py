@@ -98,23 +98,51 @@ def probe_scan(ref_path: str, probes_path: str, mode: str = "hwt",
 
     elif mode == "words":
         text, bits = compact.read_compact(ref_path)
-        if k > 31:
-            raise ValueError("words mode supports k <= 31")
+        if k > 63:
+            raise ValueError("words mode supports k <= 63")
         n = len(text)
-        # packed k-mers of the reference (non-circular window scan)
         t = text.astype(np.uint64)
-        packed = np.zeros(max(0, n - k + 1), dtype=np.uint64)
-        for j in range(k):
-            packed = (packed << np.uint64(2)) | t[j : n - k + 1 + j]
-        packed.sort(kind="stable")
+        nw = max(0, n - k + 1)
+        if k <= 31:
+            # single-word packed k-mers (reference uint64 width)
+            packed = np.zeros(nw, dtype=np.uint64)
+            for j in range(k):
+                packed = (packed << np.uint64(2)) | t[j : nw + j]
+            packed.sort(kind="stable")
 
-        def count(km: np.ndarray) -> int:
-            v = np.uint64(0)
-            for c in km:
-                v = (v << np.uint64(2)) | np.uint64(c)
-            lo = np.searchsorted(packed, v, side="left")
-            hi = np.searchsorted(packed, v, side="right")
-            return int(hi - lo)
+            def count(km: np.ndarray) -> int:
+                v = np.uint64(0)
+                for c in km:
+                    v = (v << np.uint64(2)) | np.uint64(c)
+                lo = np.searchsorted(packed, v, side="left")
+                hi = np.searchsorted(packed, v, side="right")
+                return int(hi - lo)
+        else:
+            # two-word packed k-mers (reference uint128 width,
+            # probeScanDna.cpp:482-486) via a structured (hi, lo) sort
+            khi, klo = k - 31, 31
+            hi_w = np.zeros(nw, dtype=np.uint64)
+            for j in range(khi):
+                hi_w = (hi_w << np.uint64(2)) | t[j : nw + j]
+            lo_w = np.zeros(nw, dtype=np.uint64)
+            for j in range(khi, k):
+                lo_w = (lo_w << np.uint64(2)) | t[j : nw + j]
+            packed = np.empty(nw, dtype=[("hi", "<u8"), ("lo", "<u8")])
+            packed["hi"] = hi_w
+            packed["lo"] = lo_w
+            packed.sort(order=("hi", "lo"))
+
+            def count(km: np.ndarray) -> int:
+                vh = 0
+                for c in km[:khi]:
+                    vh = (vh << 2) | int(c)
+                vl = 0
+                for c in km[khi:]:
+                    vl = (vl << 2) | int(c)
+                key = np.array((vh, vl), dtype=packed.dtype)
+                lo = np.searchsorted(packed, key, side="left")
+                hi = np.searchsorted(packed, key, side="right")
+                return int(hi - lo)
 
     else:
         sys.stderr.write("probeScanDna: unknown mode %r\n" % mode)

@@ -67,6 +67,20 @@ def testrandomn(n: int, sigma: int = 8, seed: int = 0, verbose=False):
     _check_one(rng.integers(0, sigma, n, dtype=np.int32))
 
 
+def testnxz(path: str, limit: int = 1 << 16, verbose=False):
+    """Real-genome fixture test: decompress an .xz file and check a
+    prefix (reference testnXz, lcpbit.cpp:3817: skip if absent)."""
+    import lzma
+
+    if not os.path.exists(path):
+        return False
+    with lzma.open(path, "rb") as f:
+        data = np.frombuffer(f.read(limit), dtype=np.uint8).astype(np.int32)
+    if len(data):
+        _check_one(data[:limit])
+    return True
+
+
 def run_selftests(verbose: bool = False) -> int:
     # fixed tiny case (reference lcpbit.cpp:4053 "abbab#")
     testn([ord(c) for c in "abbab#"], verbose)
@@ -81,6 +95,12 @@ def run_selftests(verbose: bool = False) -> int:
     with open(__file__, "rb") as f:
         data = np.frombuffer(f.read(), dtype=np.uint8).astype(np.int32)
     _check_one(data[:4096])
+    # real-genome fixtures if present (reference expects testdata/*.xz and
+    # skips when absent, lcpbit.cpp:3817,4068-4070)
+    for fix in ("testdata/hg19_000000.xz", "testdata/dmel_test.xz",
+                "testdata/ecoli_test.xz"):
+        if testnxz(fix) and verbose:
+            print("fixture %s ok" % fix)
     if verbose:
         print("lcpbit selftests ok")
     return 0

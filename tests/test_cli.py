@@ -287,3 +287,18 @@ def test_allhamdna_unmapped_and_n_reads(tmp_path, capsys):
     # reads containing N are skipped without crashing
     assert "withn" not in [l.split("\t")[0] for l in out.splitlines()
                            if "\t0\tref" in l]
+
+
+def test_probescan_words_long_kmer(tmp_path, capsys):
+    rng = np.random.default_rng(14)
+    codes = rng.integers(0, 4, 2000, dtype=np.int32)
+    ref = str(tmp_path / "lk.compact")
+    compact.write_compact(ref, codes, 2)
+    bases = "ACGT"
+    probe = "".join(bases[c] for c in codes[500:545])  # k=45 > 31
+    fa = str(tmp_path / "lk.fa")
+    _write_fasta(fa, [("lk1", probe)])
+    assert run(["probeScanDna", "mode=words", "k=45", ref, fa]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[0]
+    _n, nk, matched, _m = line.split("\t")
+    assert int(nk) == 1 and int(matched) == 1
