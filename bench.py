@@ -53,15 +53,19 @@ def main():
     sym_np = rng.integers(0, SIGMA, N_DEVICE, dtype=np.int32)
     sym = jnp.asarray(sym_np)
 
+    @jax.jit
+    def _run_ck(s):
+        sa, bwt = suffix_sa_bwt_jax(s, SIGMA)
+        return jnp.sum(sa) + jnp.sum(bwt)
+
     def run():
-        sa, bwt = suffix_sa_bwt_jax(sym, SIGMA)
-        # force completion with an 8-byte device->host fetch (fetching the
-        # full arrays measures the relay link, not construction;
-        # block_until_ready is unreliable via the relay)
-        return int(jnp.sum(sa)), int(jnp.sum(bwt)), sa
+        # single dispatch + single 8-byte fetch: construction and checksum
+        # fused (fetching full arrays measures the relay link, not the
+        # construction; block_until_ready is unreliable via the relay)
+        return int(_run_ck(sym))
 
     t0 = time.time()
-    _ck1, _ck2, sa = run()  # warmup / compile (persistent cache)
+    run()  # warmup / compile (persistent cache)
     warm = time.time() - t0
     times = []
     for _ in range(REPS):
@@ -70,6 +74,7 @@ def main():
         times.append(time.time() - t0)
     dt = min(times)
     mbps = N_DEVICE / dt / 1e6
+    sa, _bwt = suffix_sa_bwt_jax(sym, SIGMA)  # for the sanity check below
 
     # CPU baseline throughput
     cpu_sym = sym_np[:N_CPU]
