@@ -76,11 +76,13 @@ def main():
     mbps = N_DEVICE / dt / 1e6
     sa, _bwt = suffix_sa_bwt_jax(sym, SIGMA)  # for the sanity check below
 
-    # CPU baseline throughput
+    # CPU baseline throughput (best of 2, the host timing is noisy)
     cpu_sym = sym_np[:N_CPU]
-    t0 = time.time()
-    cpu_sa = cpu_doubling_sa(cpu_sym)
-    cpu_dt = time.time() - t0
+    cpu_dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cpu_sa = cpu_doubling_sa(cpu_sym)
+        cpu_dt = min(cpu_dt, time.time() - t0)
     cpu_mbps = N_CPU / cpu_dt / 1e6
 
     # sanity: device result must match CPU oracle on the overlapping prefix
