@@ -131,7 +131,7 @@ def _merge_pair(text: np.ndarray, sigma: int, left: _Region, right: _Region,
 
 def blockwise_bwt(symbols: np.ndarray, sigma: int, options: BwtOptions,
                   log: Optional[VerboseLog] = None,
-                  num_segments: int = 16384,
+                  num_segments: int = 4096,
                   anchor_lookback: Optional[int] = None,
                   merge_mode: str = "tree",
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -109,22 +109,15 @@ def _check_bwt_impl(result: BwtResult, text: np.ndarray,
 def _walk_verify_run(occt: OccTable, text: jnp.ndarray, r0: jnp.ndarray,
                      p0: jnp.ndarray, lens: jnp.ndarray, steps: int):
     n = text.shape[0]
-    # block the text so the per-step read is a row gather + mask-select
-    # (element gathers are the TPU latency floor, BENCH.md)
-    from ..ops.rank import _select_col
-    blk = 128
-    nb = (n + blk - 1) // blk
-    pad = nb * blk - n
-    tblocks = jnp.concatenate(
-        [text.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)]
-    ).reshape(nb, blk) if pad else text.astype(jnp.int32).reshape(nb, blk)
 
     def body(j, carry):
         r, p, bad = carry
         sym, r2 = lf_step_batch(occt, r)
         pprev = jnp.where(p == 0, n - 1, p - 1)
-        rows = jnp.take(tblocks, pprev // blk, axis=0)
-        expect = _select_col(rows, pprev % blk)
+        # single-element text read per lane: an element gather moves 4B
+        # per lane vs 512B for a blocked row gather — at 100M/98k lanes
+        # the row variant regressed checkbwt 13.3s -> 53.4s (BENCH.md)
+        expect = jnp.take(text, pprev)
         active = j < lens
         bad = bad + jnp.logical_and(sym != expect, active).astype(jnp.int32)
         return (r2, pprev, bad)
