@@ -49,24 +49,21 @@ from .rank import OccTable, _select_col, rank_batch
 @partial(jax.jit, static_argnums=(7,))
 def _chain_steps(occt: OccTable, c_first: jnp.ndarray, text_chunk: jnp.ndarray,
                  gt0_chunk: jnp.ndarray, r: jnp.ndarray, active_len: jnp.ndarray,
-                 consts: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 consts: jnp.ndarray, chunk: int,
+                 gap: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `chunk` chain steps for all lanes.
 
     text_chunk[j, i] = text[start_j - i] (the symbol consumed at step i),
     gt0_chunk[j, i]  = gt0[start_j - i + 1] (wrap flag for that step).
     consts = [isa_m, sym_before_m, sym_last, gap_size] int32.
-    Lane j executes only its first active_len[j] steps. Each executed
-    step's new R(p) is recorded into a [chunk, T] buffer (contiguous
-    per-step writes; the gap histogram is accumulated on the host with
-    one bincount per chunk — a per-step scatter-add was the loop's most
-    expensive op). Inactive steps record gap_size + 1.
+    Lane j executes only its first active_len[j] steps. Each executed step
+    first records the *new* R(p) into the gap histogram.
     """
     isa_m, sym_before_m, sym_last, gap_size = (
         consts[0], consts[1], consts[2], consts[3])
-    T = r.shape[0]
 
     def body(i, carry):
-        r, rec = carry
+        r, gap = carry
         c = text_chunk[:, i]
         g0 = gt0_chunk[:, i]
         active = i < active_len
@@ -79,12 +76,11 @@ def _chain_steps(occt: OccTable, c_first: jnp.ndarray, text_chunk: jnp.ndarray,
         r_new = cnt_lt + rk - corr + wrap
         r = jnp.where(active, r_new, r)
         idx = jnp.where(active, r_new, gap_size + 1)
-        rec = lax.dynamic_update_index_in_dim(rec, idx, i, axis=0)
-        return (r, rec)
+        gap = gap.at[idx].add(1, mode="drop")
+        return (r, gap)
 
-    rec0 = jnp.zeros((chunk, T), jnp.int32)
-    r, rec = lax.fori_loop(0, chunk, body, (r, rec0))
-    return r, rec
+    r, gap = lax.fori_loop(0, chunk, body, (r, gap))
+    return r, gap
 
 
 @partial(jax.jit, static_argnums=(7,))
@@ -196,7 +192,7 @@ class GapChainRunner:
         T = len(starts)
         max_len = int(lens.max()) if T else 0
         chunk = self._auto_chunk(T)
-        gap_np = np.zeros(self.gap_size + 2, dtype=np.int64)
+        gap = jnp.zeros(self.gap_size + 2, jnp.int32)  # +slack for drop idx
         r = jnp.asarray(r0.astype(np.int32))
         done = 0
         while done < max_len:
@@ -204,13 +200,10 @@ class GapChainRunner:
             text_chunk, gt0_chunk = self._chunks(starts, lens, done, count)
             active = jnp.asarray(
                 np.minimum(np.maximum(lens - done, 0), count).astype(np.int32))
-            r, rec = _chain_steps(self.occt, self.c_first, text_chunk,
-                                  gt0_chunk, r, active, self.consts, count)
-            # host-side histogram accumulation (one bincount per chunk)
-            gap_np += np.bincount(np.asarray(rec).reshape(-1),
-                                  minlength=self.gap_size + 2)
+            r, gap = _chain_steps(self.occt, self.c_first, text_chunk,
+                                  gt0_chunk, r, active, self.consts, count, gap)
             done += count
-        gap_np = gap_np[: self.gap_size + 1]
+        gap_np = np.asarray(gap[: self.gap_size + 1], dtype=np.int64)
         return gap_np, np.asarray(r, dtype=np.int64)
 
     def anchor(self, starts: np.ndarray, lookback: int) -> Tuple[np.ndarray, np.ndarray]:
