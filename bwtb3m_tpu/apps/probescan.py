@@ -100,6 +100,14 @@ def probe_scan(ref_path: str, probes_path: str, mode: str = "hwt",
         text, bits = compact.read_compact(ref_path)
         if k > 63:
             raise ValueError("words mode supports k <= 63")
+        # k-mers are packed 2 bits per base: only 2-bit compact input
+        # (fagzToCompact4 output, bases {0..3}) yields valid keys.  A 3-bit
+        # compact stream (fagzToCompact, symbols {0..5}) would silently
+        # corrupt every k-mer, so reject it (ADVICE r1).
+        if bits != 2 or (len(text) and int(text.max()) > 3):
+            raise ValueError(
+                "words mode needs a 2-bit compact reference "
+                "(fagzToCompact4 output with bases 0..3); got bits=%d" % bits)
         n = len(text)
         t = text.astype(np.uint64)
         nw = max(0, n - k + 1)

@@ -69,8 +69,17 @@ def rlh_encode(path: str, symbols: np.ndarray, sigma: int = None,
     if sigma is None:
         sigma = int(symbols.max()) + 1 if n else 1
     hist = np.bincount(symbols, minlength=sigma) if n else np.zeros(1, np.int64)
-    tree = HuffmanTree({int(s): int(c) for s, c in enumerate(hist) if c})
-    codes, clens = tree.code_arrays(max(sigma, max(tree.symbols) + 1))
+    if n:
+        tree = HuffmanTree({int(s): int(c) for s, c in enumerate(hist) if c})
+        codes, clens = tree.code_arrays(max(sigma, max(tree.symbols) + 1))
+        tree_syms = tree.symbols
+    else:
+        # empty input: no Huffman tree (nsyms=0 in the header), mirroring
+        # rl_encode's clean n==0 handling
+        tree = None
+        codes = np.zeros(max(1, sigma), dtype=np.uint64)
+        clens = np.zeros(max(1, sigma), dtype=np.uint8)
+        tree_syms = []
     nb = max(1, (n + block_size - 1) // block_size)
 
     with open(path, "wb") as f:
@@ -82,8 +91,8 @@ def rlh_encode(path: str, symbols: np.ndarray, sigma: int = None,
         serial.write_u32(f, block_size)
         footer_pos = f.tell()
         serial.write_u64(f, 0)
-        serial.write_u32(f, len(tree.symbols))
-        for s in tree.symbols:
+        serial.write_u32(f, len(tree_syms))
+        for s in tree_syms:
             serial.write_u32(f, int(s))
             serial.write_u8(f, tree.length[s])
 
@@ -137,12 +146,17 @@ class RLHReader:
         for _ in range(nsyms):
             s = serial.read_u32(self._f)
             lengths[s] = serial.read_u8(self._f)
-        self.tree = HuffmanTree.from_lengths(lengths)
-        order = sorted(self.tree.symbols,
-                       key=lambda s: (self.tree.length[s], s))
-        self.canon_syms = np.array(order, dtype=np.uint32)
-        self.canon_lens = np.array([self.tree.length[s] for s in order],
-                                   dtype=np.uint8)
+        if lengths:
+            self.tree = HuffmanTree.from_lengths(lengths)
+            order = sorted(self.tree.symbols,
+                           key=lambda s: (self.tree.length[s], s))
+            self.canon_syms = np.array(order, dtype=np.uint32)
+            self.canon_lens = np.array([self.tree.length[s] for s in order],
+                                       dtype=np.uint8)
+        else:  # empty .bwt (n == 0): no code table
+            self.tree = None
+            self.canon_syms = np.zeros(0, dtype=np.uint32)
+            self.canon_lens = np.zeros(0, dtype=np.uint8)
         self.nb = max(1, (self.n + self.block_size - 1) // self.block_size)
         self._f.seek(self.footer_off)
         self.block_off = serial.read_u64_array(self._f, self.nb)

@@ -74,6 +74,7 @@ def get_lib():
         lib.c_gamma_decode.restype = i64
         lib.c_rlh_decode.argtypes = [pu8, i64, i64, pu32, pu8, i64, p32, p64]
         lib.c_rlh_decode.restype = i64
+        lib.c_sais.argtypes = [p32, i64, i64, p64]
         _lib = lib
         return _lib
 
@@ -103,6 +104,24 @@ def lz4_decompress(data: bytes, usize: int) -> Optional[bytes]:
     if size != usize:
         return None
     return dst[:usize].tobytes()
+
+
+def sais(text: np.ndarray) -> Optional[np.ndarray]:
+    """Suffix array of text + implicit smallest terminator via native
+    SA-IS (the divsufsort-class CPU engine used as the honest baseline
+    and host oracle). Returns int64 [n] or None without the native lib.
+    For pacterm input (unique terminator 0 present) this equals the
+    circular rotation order."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.int32)
+    n = len(text)
+    out = np.zeros(max(1, n), dtype=np.int64)
+    if n:
+        K = int(text.max()) + 1
+        lib.c_sais(text, n, K, out)
+    return out[:n]
 
 
 def gt0(text: np.ndarray) -> Optional[np.ndarray]:

@@ -1,0 +1,66 @@
+"""FusedOcc (single-row-gather rank structure) vs the plain OccTable."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bwtb3m_tpu.ops.focc import (
+    access_batch_f, backward_step_f, build_focc, lf_step_batch_f,
+    rank_batch_f)
+
+
+def _naive_rank(bwt, c, i):
+    return int(np.count_nonzero(bwt[:i] == c))
+
+
+def test_focc_rank_access_random():
+    rng = np.random.default_rng(0)
+    for n, sigma in ((1, 2), (7, 3), (300, 5), (5000, 6), (70000, 2)):
+        bwt = rng.integers(0, sigma, n).astype(np.int8)
+        focc = build_focc(bwt, sigma)
+        q = rng.integers(0, n + 1, 257).astype(np.uint32)
+        c = rng.integers(0, sigma, 257).astype(np.int32)
+        got = np.asarray(rank_batch_f(focc, jnp.asarray(c), jnp.asarray(q)))
+        for j in range(len(q)):
+            assert got[j] == _naive_rank(bwt, c[j], int(q[j])), (n, j)
+        qa = rng.integers(0, n, 129).astype(np.uint32)
+        acc = np.asarray(access_batch_f(focc, jnp.asarray(qa)))
+        assert np.array_equal(acc, bwt[qa.astype(np.int64)])
+
+
+def test_focc_lf_matches_occtable():
+    from bwtb3m_tpu.ops.lf import lf_step_batch
+    from bwtb3m_tpu.ops.rank import build_occ
+    rng = np.random.default_rng(1)
+    n, sigma = 4096, 5
+    bwt = rng.integers(0, sigma, n).astype(np.int32)
+    occt = build_occ(bwt, sigma)
+    focc = build_focc(bwt, sigma)
+    r = rng.integers(0, n, 1024).astype(np.uint32)
+    s1, r1 = lf_step_batch(occt, jnp.asarray(r.astype(np.int32)))
+    s2, r2 = lf_step_batch_f(focc, jnp.asarray(r))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(r1).astype(np.uint32), np.asarray(r2))
+
+
+def test_focc_backward_search_counts():
+    rng = np.random.default_rng(2)
+    n, sigma = 2000, 4
+    from oracle import naive_circular_sa
+    text = rng.integers(0, sigma, n).astype(np.int32)
+    sa = naive_circular_sa(text)
+    bwt = text[(sa - 1) % n]
+    focc = build_focc(bwt, sigma)
+    for _ in range(50):
+        k = int(rng.integers(1, 8))
+        pat = rng.integers(0, sigma, k)
+        lo = jnp.zeros(1, jnp.uint32)
+        hi = jnp.full(1, n, jnp.uint32)
+        for c in pat[::-1]:
+            lo, hi = backward_step_f(
+                focc, jnp.full(1, int(c), jnp.int32), lo, hi)
+        count = int(np.asarray(hi)[0]) - int(np.asarray(lo)[0])
+        # circular occurrence count
+        ext = np.concatenate([text, text[: k - 1]]) if k > 1 else text
+        win = np.lib.stride_tricks.sliding_window_view(ext, k)
+        expect = int(np.sum(np.all(win == pat, axis=1)))
+        assert count == expect

@@ -66,3 +66,26 @@ def test_native_kasai_matches_oracle():
     finally:
         native._lib = backup
     np.testing.assert_array_equal(nat, py)
+
+
+def test_native_sais_matches_circular_oracle_on_pacterm():
+    # pacterm-style text (unique smallest terminator): circular rotation
+    # order == suffix order of T$, so sais must equal the circular oracle
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 17, 200, 1000):
+        t = (rng.integers(1, 5, n)).astype(np.int32)
+        t[-1] = 0  # unique terminator
+        sa = native.sais(t)
+        assert sa is not None
+        ora = naive_circular_sa(t)
+        assert np.array_equal(sa, ora)
+
+
+def test_native_sais_plain_suffix_order():
+    rng = np.random.default_rng(8)
+    for n in (1, 5, 64, 500):
+        for sigma in (1, 2, 4):
+            t = rng.integers(0, sigma, n).astype(np.int32)
+            sa = native.sais(t)
+            expect = sorted(range(n), key=lambda i: (list(t[i:]) + [-1]))
+            assert list(sa) == expect

@@ -100,3 +100,13 @@ def test_decoder_cli_rlh(tmp_path, capsysbinary):
     assert dispatch(["bwtb3mdecoderl", p]) == 0
     out = capsysbinary.readouterr().out
     assert out == sym.astype(np.uint8).tobytes()
+
+
+def test_rlh_empty_input_roundtrip(tmp_path):
+    # ADVICE r1: the RLH codec must handle n == 0 like rl_encode does
+    from bwtb3m_tpu.io.rlh import RLHReader
+    p = str(tmp_path / "empty.bwt")
+    rlh_encode(p, np.zeros(0, np.int32), sigma=4)
+    with RLHReader(p) as r:
+        assert r.n == 0
+        assert len(r.decode_all()) == 0
