@@ -39,22 +39,42 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
         raise ValueError("empty input text: %s" % options.input_path)
     log.v("n=%d sigma=%d" % (n, sigma))
 
+    # preisa rate decides both the .preisa output and, for the scaled
+    # engine, the in-flight sample harvesting — fix it before sorting
+    prate = options.preisa_sampling_rate
+    if prate is None:
+        # adaptive: ~128k walk lanes, power-of-two, within [32, isa rate]
+        target = max(1, n // (1 << 17))
+        prate = 1 << max(5, (target - 1).bit_length())
+        prate = min(prate, max(32, options.isa_sampling_rate))
+    prate = max(1, min(prate, n))
+
     # ---- phase 2+3: suffix sort (device) -------------------------------
+    sa = isa = None
     if options.engine == "sharded":
         import jax
 
         from ..parallel import make_mesh, sharded_bwt
-        ndev = len(jax.devices())
-        d = max(dd for dd in range(1, ndev + 1) if n % dd == 0)
+        d = len(jax.devices())  # ragged n handled by pad slots
         with log.span("device suffix sort (sharded, %d devices)" % d):
             sa, _rank, bwt = sharded_bwt(symbols, sigma, make_mesh(d))
             isa = np.zeros(n, dtype=np.int64)
             isa[sa] = np.arange(n, dtype=np.int64)
-    elif (options.engine == "merge"
+    elif (options.engine in ("merge", "merge-legacy")
           or (options.engine == "auto" and n > options.max_block_symbols)):
-        from .merge import blockwise_bwt  # deferred import, heavier path
-        with log.span("device suffix sort (blockwise merge)"):
-            sa, isa, bwt = blockwise_bwt(symbols, sigma, options, log)
+        if options.engine != "merge-legacy" and sigma <= 16:
+            # scaled engine: regions carry only BWT + samples (no full
+            # SA/ISA), device-resident chains — the path that reaches
+            # reference scale (>2^31 symbols, bounded host memory)
+            from .merge_scaled import blockwise_bwt_scaled
+            with log.span("device suffix sort (scaled blockwise merge)"):
+                bwt_u8, spos, srank, _hist = blockwise_bwt_scaled(
+                    symbols, sigma, options, log, sample_rate=prate)
+            bwt = bwt_u8.astype(np.int32)
+        else:
+            from .merge import blockwise_bwt  # legacy full-SA path
+            with log.span("device suffix sort (blockwise merge)"):
+                sa, isa, bwt = blockwise_bwt(symbols, sigma, options, log)
     else:
         with log.span("device suffix sort (single block, prefix doubling)"):
             sa, isa, bwt = suffix_array(symbols, sigma)
@@ -74,43 +94,52 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
     formats.write_hist(base + ".hist", formats.hist_from_array(hist))
     files["hist"] = base + ".hist"
 
-    prate = options.preisa_sampling_rate
-    if prate is None:
-        # adaptive: ~128k walk lanes, power-of-two, within [32, isa rate]
-        target = max(1, n // (1 << 17))
-        prate = 1 << max(5, (target - 1).bit_length())
-        prate = min(prate, max(32, options.isa_sampling_rate))
-    prate = max(1, min(prate, n))
-    ppos = np.arange(0, n, prate, dtype=np.int64)
-    formats.write_preisa(base + ".preisa", isa[ppos], ppos, prate)
+    if isa is not None:
+        spos = np.arange(0, n, prate, dtype=np.int64)
+        srank = isa[spos]
+    formats.write_preisa(base + ".preisa", srank, spos, prate)
     files["preisa"] = base + ".preisa"
+
+    def write_meta():
+        meta = {
+            "format": "bwtb3m_tpu/v1",
+            "n": n,
+            "sigma": sigma,
+            "input": os.path.abspath(options.input_path),
+            "inputtype": itype.name,
+            "bwtonly": bool(options.bwt_only),
+            "sasamplingrate": options.sa_sampling_rate,
+            "isasamplingrate": options.isa_sampling_rate,
+            "preisasamplingrate": prate,
+            "files": files,
+        }
+        formats.write_meta(base + ".meta", meta)
+        return meta
 
     # ---- phase 5: sampled SA/ISA + .hwt (bwtonly=0 path) ---------------
     if not options.bwt_only:
         srate = max(1, options.sa_sampling_rate)
-        formats.write_sampled_array(base + ".sa", srate, sa[::srate])
-        files["sa"] = base + ".sa"
         irate = max(1, options.isa_sampling_rate)
-        formats.write_sampled_array(base + ".isa", irate, isa[::irate])
+        if sa is not None:
+            formats.write_sampled_array(base + ".sa", srate, sa[::srate])
+            formats.write_sampled_array(base + ".isa", irate, isa[::irate])
+        else:
+            # scaled engine keeps no full SA/ISA — derive the sampled
+            # arrays with the bwtcomputessa walk from .bwt + .preisa
+            # (exactly the reference's bwtonly=1 follow-up,
+            # /root/reference/src/bwtcomputessa.cpp:51)
+            write_meta()
+            from .ssa import compute_ssa
+            with log.span("sampled SA/ISA via LF walk (scaled path)"):
+                compute_ssa(options.output_filename, srate, irate, log=log)
+        files["sa"] = base + ".sa"
         files["isa"] = base + ".isa"
         from ..index.wavelet import HuffmanWaveletTree
         with log.span("write .hwt (Huffman wavelet tree)"):
             HuffmanWaveletTree.build(bwt).write(base + ".hwt")
         files["hwt"] = base + ".hwt"
 
-    meta = {
-        "format": "bwtb3m_tpu/v1",
-        "n": n,
-        "sigma": sigma,
-        "input": os.path.abspath(options.input_path),
-        "inputtype": itype.name,
-        "bwtonly": bool(options.bwt_only),
-        "sasamplingrate": options.sa_sampling_rate,
-        "isasamplingrate": options.isa_sampling_rate,
-        "preisasamplingrate": prate,
-        "files": files,
-    }
-    formats.write_meta(base + ".meta", meta)
+    meta = write_meta()
 
     log.v("%s runtime %.3fs" % (mem_usage_string(), rtc.elapsed()))
     return BwtResult(meta)

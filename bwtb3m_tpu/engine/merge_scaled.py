@@ -1,0 +1,266 @@
+"""Scaled blockwise BWT construction — regions as (BWT + samples), no
+full suffix arrays, device-resident chains.
+
+This is the memory-bounded engine that reaches reference scale (the
+round-1 blockwise engine in engine/merge.py keeps every region's full SA
+and ISA on the host and stages text chunks per step; fine to ~10^8, fatal
+at 3.2 Gbp).  Matching the reference's design (SURVEY.md section 3.1,
+arXiv:1604.06687), a region here carries only:
+
+    bwt          host uint8, the region's rotation-order BWT
+    samples      (pos, local rank) at preisa-rate-aligned positions
+    r_start      local rank of the rotation starting at the region start
+    hist         symbol histogram of text[s:e]
+
+Per pair merge the right side's BWT is shipped to the device (4-bit
+packed), its FusedOcc built there, gap chains run fully on device
+(ops/gapdev.py), the byte-compressed gap histogram is fetched, and the
+zip happens in native C++ (c_gap_interleave).  Sample ranks update in
+O(#samples): a left suffix p gains R(p) (harvested from the chain
+recording), a right rank r gains cnt_le[r] (one device gather).
+
+The merge tree keeps every right region below 2^31 rotations for texts up
+to 2^32-1 symbols, so device rank arithmetic stays int32; host bookkeeping
+is int64 throughout (reference: bwtb3m.cpp:47,53 — the mem= bound and
+sparse external gap files whose role the device/host split takes over).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.gapdev import DeviceGapRunner, build_text_rows, upload_bwt
+from ..ops.focc import build_focc
+from ..util.log import VerboseLog
+from .options import BwtOptions
+
+
+@dataclasses.dataclass
+class _RegionS:
+    s: int
+    e: int
+    bwt: np.ndarray          # uint8 [e-s]
+    samp_pos: np.ndarray     # int64, ascending
+    samp_rank: np.ndarray    # int64 local ranks
+    r_start: int             # local rank of rotation s
+    hist: np.ndarray         # int64 [sigma] of text[s:e]
+
+
+class _Ctx:
+    def __init__(self, text: np.ndarray, sigma: int, rate: int,
+                 options: BwtOptions, log: VerboseLog,
+                 lane_bucket: int, nthreads: int = 4):
+        self.text = np.ascontiguousarray(text, dtype=np.uint8)
+        self.n = len(text)
+        self.sigma = sigma
+        self.rate = rate
+        self.options = options
+        self.log = log
+        self.lane_bucket = lane_bucket
+        self.nthreads = nthreads
+        self.dbl = np.concatenate([self.text, self.text])
+        self.text_rows = build_text_rows(self.text)
+
+
+def _plan_blocks_fixed(n: int, max_block: int) -> List[Tuple[int, int]]:
+    """Fixed-size blocks (one compiled sort shape) + a short tail."""
+    nb = max(1, -(-n // max_block))
+    size = -(-n // nb)
+    size = ((size + 255) // 256) * 256  # align so shapes bucket cleanly
+    out = []
+    s = 0
+    while s < n:
+        out.append((s, min(n, s + size)))
+        s += size
+    return out
+
+
+def _device_window(ctx: _Ctx, s: int, W: int) -> np.ndarray:
+    """Circular window text[s : s+W] as int32, sliced from the device
+    text rows (no host gather/upload per block)."""
+    import jax.numpy as jnp
+    flat = ctx.text_rows.reshape(-1)
+    n = ctx.n
+    s = s % n
+    if s + W <= n:
+        return jnp.asarray(flat[s : s + W], dtype=jnp.int32)
+    parts = [flat[s:n]]
+    need = W - (n - s)
+    while need > 0:
+        take = min(need, n)
+        parts.append(flat[:take])
+        need -= take
+    return jnp.concatenate(parts).astype(jnp.int32)
+
+
+def _sort_block_scaled(ctx: _Ctx, s: int, e: int) -> _RegionS:
+    """Rotation order of block [s, e) via windowed doubling, emitted as a
+    scaled region (full block SA exists only transiently here)."""
+    from ..ops.windowsort import block_suffix_order_window
+    n = ctx.n
+    block_len = e - s
+    la = min(max(1024, ctx.options.large_lcp_thres), n)
+    while True:
+        W = min(block_len + la, block_len + n)
+        win = _device_window(ctx, s, W)
+        lo_order, hi_order, resolved = block_suffix_order_window(
+            win, block_len, ctx.sigma)
+        if resolved:
+            sa_local = lo_order
+            break
+        if la >= n:
+            sa_local = hi_order  # residual ties are equal rotations
+            break
+        la = min(la * 4, n)
+        ctx.log.v("block [%d,%d): lookahead extended to %d" % (s, e, la))
+    inv = np.empty(block_len, np.int64)
+    inv[sa_local] = np.arange(block_len, dtype=np.int64)
+    sa_abs_prev = (s + sa_local - 1) % n
+    bwt = ctx.text[sa_abs_prev]
+    first = (-s) % ctx.rate
+    spos = np.arange(s + first, e, ctx.rate, dtype=np.int64)
+    return _RegionS(
+        s, e, bwt, spos, inv[spos - s],
+        int(inv[0]), np.bincount(ctx.text[s:e], minlength=ctx.sigma
+                                 ).astype(np.int64))
+
+
+def _interleave_fallback(gap8, ov_idx, ov_val, left, right):
+    gap = gap8.astype(np.int64)
+    gap[ov_idx] = ov_val
+    out = np.empty(len(left) + len(right), np.uint8)
+    cnt_le = np.cumsum(gap)
+    M = len(right)
+    out[np.arange(M) + cnt_le[:M]] = right
+    out[np.repeat(np.arange(M + 1), gap) + np.arange(len(left))] = left
+    return out
+
+
+def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
+                       anchor_lookback: int = 256) -> _RegionS:
+    from .. import native
+    s, m, e = left.s, left.e, right.e
+    assert right.s == m
+    block_len = m - s
+    log = ctx.log
+
+    focc = build_focc(upload_bwt(right.bwt, ctx.sigma), ctx.sigma)
+    runner = DeviceGapRunner(
+        focc, ctx.text_rows, ctx.text, ctx.dbl, s, m, e,
+        isa_m=right.r_start, first_hist=right.hist,
+        lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
+        nthreads=ctx.nthreads, log=log)
+
+    # segment plan: T lanes over [s, m)
+    T = max(1, min(ctx.lane_bucket, block_len // 64 or 1))
+    bounds = np.linspace(s, m, T + 1).astype(np.int64)
+    starts = bounds[1:] - 1
+    lens = np.diff(bounds)
+    seeds = np.zeros(T, dtype=np.int64)
+    seeds[T - 1] = right.r_start
+    if T > 1:
+        lb = anchor_lookback
+        todo = np.arange(T - 1)
+        while len(todo):
+            vals, ok = runner.anchor(starts[todo], min(lb, ctx.n))
+            seeds[todo[ok]] = vals[ok]
+            todo = todo[~ok]
+            if len(todo) and lb >= ctx.n:
+                raise AssertionError(
+                    "anchor unresolved at full lookback — equal-rotation "
+                    "boundary should be impossible for interior anchors")
+            lb = min(lb * 4, ctx.n)
+            if len(todo):
+                log.v("anchor lookback extended to %d for %d lanes"
+                      % (lb, len(todo)))
+
+    runner.run_chains(starts, seeds, lens)
+    total = runner.gap_checksum()
+    assert total == block_len, (total, block_len)
+    # chain self-check: every lane's final R(bounds[j]) must equal the
+    # anchor-provided seed of the lane to its left (exact because resolved
+    # contraction brackets the true rank) — the rebuild's analog of the
+    # reference's pervasive stream assertions (SURVEY.md section 4.4)
+    if T > 1:
+        if not np.array_equal(runner.final_rs[1:], seeds[:-1]):
+            bad = int(np.flatnonzero(runner.final_rs[1:] != seeds[:-1])[0])
+            raise AssertionError(
+                "anchor/chain mismatch at lane %d: %d != %d"
+                % (bad + 1, runner.final_rs[bad + 1], seeds[bad]))
+
+    gap8, ov_idx, ov_val = runner.fetch_gap_compressed()
+    merged = native.gap_interleave(gap8, ov_idx, ov_val, left.bwt, right.bwt)
+    if merged is None:
+        merged = _interleave_fallback(gap8, ov_idx, ov_val, left.bwt,
+                                      right.bwt)
+
+    # sample updates
+    hpos, hval = runner.harvest_samples()
+    if not np.array_equal(hpos, left.samp_pos):
+        raise AssertionError(
+            "chain sample harvest mismatch: %d vs %d positions"
+            % (len(hpos), len(left.samp_pos)))
+    new_left_rank = left.samp_rank + hval
+    new_right_rank = right.samp_rank + runner.cnt_le_at(right.samp_rank)
+    pos = np.concatenate([left.samp_pos, right.samp_pos])
+    rank = np.concatenate([new_left_rank, new_right_rank])
+    order = np.argsort(pos)
+    r_start = int(left.r_start + runner.final_rs[0])
+
+    return _RegionS(s, e, merged, pos[order], rank[order], r_start,
+                    left.hist + right.hist)
+
+
+def blockwise_bwt_scaled(
+    symbols: np.ndarray, sigma: int, options: BwtOptions,
+    log: Optional[VerboseLog] = None, sample_rate: int = 1024,
+    lane_bucket: int = 1 << 16,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (bwt uint8, preisa positions, preisa ranks, symbol hist) —
+    the bwtonly output set (reference: .bwt/.hist/.preisa, README
+    "Output"); SA/ISA derive from these via engine/ssa.py exactly as
+    bwtcomputessa does."""
+    log = log or VerboseLog(1)
+    text = np.asarray(symbols)
+    n = len(text)
+    if sigma > 16:
+        raise ValueError("scaled merge engine supports sigma <= 16 "
+                         "(4-bit packed device text); use the doubling "
+                         "engine for wide alphabets")
+    if n >= (1 << 32):
+        raise ValueError("texts >= 2^32 symbols need the two-word rank "
+                         "path (ROADMAP)")
+    from ..util.devices import device_scope
+    with device_scope(n):
+        ctx = _Ctx(text, sigma, sample_rate, options, log, lane_bucket)
+        blocks = _plan_blocks_fixed(n, options.max_block_symbols)
+        log.v("scaled blockwise engine: %d blocks, rate=%d, lanes<=%d"
+              % (len(blocks), sample_rate, lane_bucket))
+        regions = [_sort_block_scaled(ctx, s, e) for s, e in blocks]
+
+        stop_file = options.output_filename + ".stop"
+        total = len(regions) - 1
+        done = 0
+        level = regions
+        while len(level) > 1:
+            nxt: List[_RegionS] = []
+            i = 0
+            while i + 1 < len(level):
+                if os.path.exists(stop_file):
+                    raise RuntimeError("stop requested via %s after %d/%d "
+                                       "merges" % (stop_file, done, total))
+                merged = _merge_pair_scaled(ctx, level[i], level[i + 1])
+                done += 1
+                log.v("merged [%d,%d): %d/%d" % (merged.s, merged.e,
+                                                 done, total))
+                nxt.append(merged)
+                i += 2
+            if i < len(level):
+                nxt.append(level[i])
+            level = nxt
+        final = level[0]
+    return final.bwt, final.samp_pos, final.samp_rank, final.hist

@@ -100,5 +100,44 @@ class BwtResult:
             occt = build_occ(bwt_dev, sigma)
         return occt, symmap
 
+    def load_focc(self, dense: bool = True):
+        """Build the fused single-gather rank structure (ops/focc.py) from
+        .bwt — the uint32 path every walk kernel (checkbwt, bwtcomputessa,
+        gap chains) now runs on; no 2^31 rank ceiling. Returns
+        (FusedOcc, symbol_map or None)."""
+        bwt = None
+        with open_bwt(self.bwt_path) as r:
+            if hasattr(r, "decode_all_u8"):
+                bwt = r.decode_all_u8()  # native stream decode, no int32 copy
+        if bwt is None:
+            bwt = self.load_bwt()
+        sigma = self.sigma
+        symmap = None
+        if dense:
+            present = np.unique(bwt)
+            if len(present) < sigma or (len(present) and present[-1] >= len(present)):
+                remap = np.zeros(max(sigma, int(present[-1]) + 1), dtype=np.int32)
+                remap[present] = np.arange(len(present), dtype=np.int32)
+                bwt = remap[bwt]
+                sigma = len(present)
+                symmap = present.astype(np.int64)
+        import jax.numpy as jnp
+
+        from ..ops.focc import build_focc
+        from ..ops.pack import unpack_bits_device
+        from .. import native
+
+        if sigma <= 16:
+            packed = native.pack_bits_u8(bwt.astype(np.uint8), 4)
+            if packed is None:
+                from ..io.compact import pack_bits
+                packed = pack_bits(bwt.astype(np.int64), 4)
+            pad = (-len(bwt)) % 2
+            bwt_dev = unpack_bits_device(
+                jnp.asarray(packed), 4, len(bwt) + pad)[: len(bwt)]
+        else:
+            bwt_dev = jnp.asarray(bwt.astype(np.int32))
+        return build_focc(bwt_dev, sigma), symmap
+
     def load_preisa(self):
         return formats.read_preisa(self.preisa_path)

@@ -27,6 +27,46 @@ from ..util.log import VerboseLog
 from .result import BwtResult
 
 
+@partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=(5,))
+def _harvest_chunk(outer: int, focc, r, p0, lens, sa_out, n: int,
+                   sarate: int, k0, isa_idx):
+    """outer*256 LF steps for all lanes on the fused structure, harvesting
+    SA entries with ONE masked scatter per chunk (pre-step ranks recorded
+    through scan stacking — no per-step scatter, the round-1 bottleneck)
+    and returning the pre-step ranks at the per-lane ISA-phase rows named
+    by isa_idx."""
+    from ..ops.focc import lf_step_batch_f
+
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    def outer_body(r, o):
+        kbase = k0 + o * 256
+
+        def inner(r, i):
+            k = kbase + i
+            active = k < lens
+            y = jnp.where(active, r, sentinel)
+            _sym, r2 = lf_step_batch_f(focc, r)
+            r = jnp.where(active, r2, r)
+            return r, y
+
+        return lax.scan(inner, r, jnp.arange(256, dtype=jnp.int32))
+
+    r, ys = lax.scan(outer_body, r, jnp.arange(outer, dtype=jnp.int32))
+    ys_flat = ys.reshape(outer * 256, r.shape[0])
+    n_sa = sa_out.shape[0]
+    if sarate == 1:
+        idx = jnp.where(ys_flat == sentinel, jnp.uint32(n_sa), ys_flat)
+    else:
+        idx = jnp.where(ys_flat % jnp.uint32(sarate) == 0,
+                        ys_flat // jnp.uint32(sarate), jnp.uint32(n_sa))
+    kmat = lax.broadcasted_iota(jnp.int32, ys_flat.shape, 0) + k0
+    pmat = p0[None, :] - kmat.astype(jnp.uint32)  # position at each step
+    sa_out = sa_out.at[idx.astype(jnp.int32)].set(pmat, mode="drop")
+    isa_vals = jnp.take_along_axis(ys_flat, isa_idx, axis=0)
+    return r, sa_out, isa_vals
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _harvest_walk(occt: OccTable, r0: jnp.ndarray, p0: jnp.ndarray,
                   lens: jnp.ndarray, steps: int, n: int,
@@ -59,6 +99,49 @@ def _harvest_walk(occt: OccTable, r0: jnp.ndarray, p0: jnp.ndarray,
         0, steps, body, (r0, p0, sa_out, isa_out)
     )
     return sa_out, isa_out
+
+
+def _harvest_fused(focc, ranks, positions, seg_len, n, sarate, isarate):
+    """Chunked fused-walk harvest driver. Returns (sa_vals, isa_vals)
+    int64 host arrays (-1 where unvisited)."""
+    T = len(positions)
+    bucket = max(1024, 1 << (T - 1).bit_length())
+    r = np.zeros(bucket, np.uint32)
+    r[:T] = ranks.astype(np.uint32)
+    p0 = np.zeros(bucket, np.uint32)
+    p0[:T] = positions.astype(np.uint32)
+    lens = np.zeros(bucket, np.int32)
+    lens[:T] = seg_len
+    n_sa = (n + sarate - 1) // sarate
+    n_isa = (n + isarate - 1) // isarate
+    sa_out = jnp.full(n_sa, 0xFFFFFFFF, jnp.uint32)
+    isa_vals = np.full(n_isa, -1, np.int64)
+    rj, p0j, lj = jnp.asarray(r), jnp.asarray(p0), jnp.asarray(lens)
+    max_steps = int(seg_len.max())
+    phase = positions % isarate  # k with p0 - k ≡ 0 (mod isarate)
+    done = 0
+    while done < max_steps:
+        outer = min(8, (max_steps - done + 255) // 256)
+        chunklen = outer * 256
+        nisa = chunklen // isarate + 1 if isarate <= chunklen else 1
+        ks = ((phase - done) % isarate)[None, :] + \
+            isarate * np.arange(nisa)[:, None]
+        idx = np.zeros((nisa, bucket), np.int32)
+        idx[:, :T] = np.minimum(ks, chunklen - 1)
+        rj, sa_out, iv = _harvest_chunk(
+            outer, focc, rj, p0j, lj, sa_out, n, int(sarate),
+            jnp.int32(done), jnp.asarray(idx))
+        iv = np.asarray(iv)[:, :T]
+        kg = ks + done
+        ok = (kg < seg_len[None, :]) & (ks < chunklen) & (kg >= done)
+        pv = (positions[None, :] - kg)[ok]
+        vv = iv[ok]
+        good = vv != 0xFFFFFFFF
+        isa_vals[pv[good] // isarate] = vv[good]
+        done += chunklen
+    sa_vals = np.asarray(sa_out).astype(np.int64)
+    sa_vals[sa_vals == 0xFFFFFFFF] = -1
+    return sa_vals, isa_vals
 
 
 def _seed_segments(ranks: np.ndarray, positions: np.ndarray, n: int):
@@ -101,20 +184,25 @@ def compute_ssa(
     n = result.n
     from ..util.devices import device_scope
     with device_scope(n):
-        occt, _symmap = result.load_occ(dense=True)
         ranks, positions, _rate = result.load_preisa()
         ranks, positions, seg_len = _seed_segments(ranks, positions, n)
-
-        steps = int(seg_len.max())
-        sa_out, isa_out = _harvest_walk(
-            occt,
-            jnp.asarray(ranks.astype(np.int32)),
-            jnp.asarray(positions.astype(np.int32)),
-            jnp.asarray(seg_len.astype(np.int32)),
-            steps, n, int(sa_sampling_rate), int(isa_sampling_rate),
-        )
-        sa_vals = np.asarray(sa_out, dtype=np.int64)
-        isa_vals = np.asarray(isa_out, dtype=np.int64)
+        if result.sigma <= 16:
+            focc, _symmap = result.load_focc(dense=True)
+            sa_vals, isa_vals = _harvest_fused(
+                focc, ranks, positions, seg_len, n,
+                int(sa_sampling_rate), int(isa_sampling_rate))
+        else:
+            occt, _symmap = result.load_occ(dense=True)
+            steps = int(seg_len.max())
+            sa_out, isa_out = _harvest_walk(
+                occt,
+                jnp.asarray(ranks.astype(np.int32)),
+                jnp.asarray(positions.astype(np.int32)),
+                jnp.asarray(seg_len.astype(np.int32)),
+                steps, n, int(sa_sampling_rate), int(isa_sampling_rate),
+            )
+            sa_vals = np.asarray(sa_out, dtype=np.int64)
+            isa_vals = np.asarray(isa_out, dtype=np.int64)
     if (sa_vals < 0).any() or (isa_vals < 0).any():
         raise AssertionError("LF walk failed to visit every sampled rank/position")
 
@@ -145,19 +233,25 @@ def compute_isa_from_preisa(
     n = result.n
     from ..util.devices import device_scope
     with device_scope(n):
-        occt, _ = result.load_occ(dense=True)
         ranks, positions, _rate = result.load_preisa()
         ranks, positions, seg_len = _seed_segments(ranks, positions, n)
-        steps = int(seg_len.max())
-        # harvest with sa rate n (only rank 0 recorded, ignored)
-        _sa_out, isa_out = _harvest_walk(
-            occt,
-            jnp.asarray(ranks.astype(np.int32)),
-            jnp.asarray(positions.astype(np.int32)),
-            jnp.asarray(seg_len.astype(np.int32)),
-            steps, n, n, int(isa_sampling_rate),
-        )
-        isa_vals = np.asarray(isa_out, dtype=np.int64)
+        if result.sigma <= 16:
+            focc, _ = result.load_focc(dense=True)
+            # sa rate n: only rank 0 harvested (ignored)
+            _sa_vals, isa_vals = _harvest_fused(
+                focc, ranks, positions, seg_len, n, n,
+                int(isa_sampling_rate))
+        else:
+            occt, _ = result.load_occ(dense=True)
+            steps = int(seg_len.max())
+            _sa_out, isa_out = _harvest_walk(
+                occt,
+                jnp.asarray(ranks.astype(np.int32)),
+                jnp.asarray(positions.astype(np.int32)),
+                jnp.asarray(seg_len.astype(np.int32)),
+                steps, n, n, int(isa_sampling_rate),
+            )
+            isa_vals = np.asarray(isa_out, dtype=np.int64)
     if (isa_vals < 0).any():
         raise AssertionError("LF walk failed to reach every sampled position")
     base = bwt_path[:-4] if bwt_path.endswith(".bwt") else bwt_path

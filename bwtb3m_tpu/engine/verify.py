@@ -44,6 +44,125 @@ def check_bwt(result: BwtResult, text: np.ndarray,
 
 def _check_bwt_impl(result: BwtResult, text: np.ndarray,
                     log: VerboseLog, n: int) -> bool:
+    text = np.asarray(text)
+    sigma_t = int(text.max()) + 1 if n else 1
+    if sigma_t <= 16 and result.sigma <= 16:
+        return _check_bwt_fused(result, text, log, n)
+    return _check_bwt_legacy(result, text, log, n)
+
+
+def _check_bwt_fused(result: BwtResult, text: np.ndarray,
+                     log: VerboseLog, n: int) -> bool:
+    """FusedOcc walk: one row gather per LF step, text compared through
+    phase-aligned row windows (one row gather per 256 steps per lane)
+    instead of a per-step element gather — the round-2 answer to the
+    ~2.4 ms/step multi-kernel floor (BENCH.md; VERDICT round 1 #4).
+    uint32 ranks: no 2^31 ceiling."""
+    from ..ops.gapdev import build_text_rows
+
+    focc, symmap = result.load_focc(dense=True)
+    if symmap is not None:
+        remap = np.full(int(max(text.max(), symmap.max())) + 1, -1, np.int32)
+        remap[symmap] = np.arange(len(symmap), dtype=np.int32)
+        text = remap[np.asarray(text, dtype=np.int64)]
+        if (text < 0).any():
+            return False
+    ranks, positions, _rate = result.load_preisa()
+    order = np.argsort(positions)
+    positions = positions[order]
+    ranks = ranks[order]
+    if len(positions) == 0 or positions[0] != 0:
+        raise ValueError("preisa must contain a sample at position 0")
+    seg_len = np.empty(len(positions), dtype=np.int64)
+    if len(positions) == 1:
+        seg_len[0] = n
+    else:
+        seg_len[0] = (positions[0] - positions[-1]) % n
+        seg_len[1:] = positions[1:] - positions[:-1]
+    assert seg_len.sum() == n, (seg_len.sum(), n)
+    _write_checkinfo(result, seg_len, positions, ranks)
+
+    text_rows = build_text_rows(text)
+    # lane i emits text[p_i - 1 - k] at step k; the wrap lane (p=0) reads
+    # n-1 downward, so every lane's read positions stay in [0, n)
+    walk_start = (positions - 1) % n
+    aligned = ((walk_start + 256) // 256) * 256 - 1  # smallest =255 mod 256
+    afrom = aligned - walk_start
+    ato = afrom + seg_len
+    T = len(positions)
+    bucket = max(1024, 1 << (T - 1).bit_length())
+    sa = np.zeros(bucket, np.uint32)
+    sa[:T] = aligned.astype(np.uint32)
+    af = np.zeros(bucket, np.int32)
+    at = np.zeros(bucket, np.int32)
+    af[:T] = afrom
+    at[:T] = ato
+    r = np.zeros(bucket, np.uint32)
+    r[:T] = ranks.astype(np.uint32)
+    rj = jnp.asarray(r)
+    bad = jnp.zeros(bucket, jnp.int32)
+    saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
+    max_steps = int(ato.max())
+    done = 0
+    while done < max_steps:
+        outer = min(8, (max_steps - done + 255) // 256)
+        rj, bad = _verify_chunk(outer, focc, text_rows, saj, afj, atj,
+                                rj, bad, jnp.int32(done))
+        done += outer * 256
+    total_bad = int(np.asarray(jnp.sum(bad)))
+    log.v("checkbwt: %d mismatches over n=%d" % (total_bad, n))
+    return total_bad == 0
+
+
+def _write_checkinfo(result, seg_len, positions, ranks):
+    # the role of the reference's .preisa.checkinfo thread-split file
+    # (checkbwt.cpp:60-115): triples (segment length, start pos, start rank)
+    try:
+        info = np.empty((len(positions), 3), dtype="<u8")
+        info[:, 0] = seg_len
+        info[:, 1] = positions
+        info[:, 2] = ranks
+        with open(result.preisa_path + ".checkinfo", "wb") as f:
+            f.write(info.tobytes())
+    except OSError:
+        pass  # read-only locations: the check itself proceeds
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(6, 7))
+def _verify_chunk(outer: int, focc, text_rows, starts_al, afrom, ato,
+                  r, bad, k0):
+    from ..ops.focc import lf_step_batch_f
+
+    def outer_body(carry, o):
+        r, bad = carry
+        kbase = k0 + o * 256
+        off = starts_al - kbase.astype(jnp.uint32)
+        prow = (off >> jnp.uint32(8)).astype(jnp.int32)
+        trow = jnp.take(
+            text_rows, jnp.minimum(prow, text_rows.shape[0] - 1), axis=0)
+
+        def inner(i, carry):
+            r, bad = carry
+            k = kbase + i
+            active = jnp.logical_and(k >= afrom, k < ato)
+            sym, r2 = lf_step_batch_f(focc, r)
+            col = 255 - i
+            expect = lax.dynamic_slice_in_dim(trow, col, 1, axis=1)[:, 0]
+            bad = bad + jnp.logical_and(
+                active, sym != expect.astype(jnp.int32)).astype(jnp.int32)
+            r = jnp.where(active, r2, r)
+            return (r, bad)
+
+        r, bad = lax.fori_loop(0, 256, inner, (r, bad))
+        return (r, bad), 0
+
+    (r, bad), _ = lax.scan(outer_body, (r, bad),
+                           jnp.arange(outer, dtype=jnp.int32))
+    return r, bad
+
+
+def _check_bwt_legacy(result: BwtResult, text: np.ndarray,
+                      log: VerboseLog, n: int) -> bool:
     occt, symmap = result.load_occ(dense=True)
     if symmap is not None:
         # occ is over densified symbols; densify the text the same way

@@ -70,6 +70,10 @@ def rl_encode(
     n = int(len(symbols))
     if sigma is None:
         sigma = int(symbols.max()) + 1 if n else 1
+    if sigma <= 256:
+        from .. import native
+        if native.rl_encode_u8(path, symbols, sigma, block_size):
+            return
     wide = sigma > 256
     flags = (FLAG_WIDE if wide else 0)
     no_counts = sigma > 4096
@@ -215,7 +219,19 @@ class RLReader:
         return cat[lo - off : hi - off]
 
     def decode_all(self) -> np.ndarray:
+        u8 = self.decode_all_u8()
+        if u8 is not None:
+            return u8.astype(np.int32)
         return self.decode_range(0, self.n)
+
+    def decode_all_u8(self):
+        """Whole-file decode as uint8 via the native stream decoder (the
+        large-text path: no int32 blow-up); None for wide files or
+        without the native lib."""
+        if self.wide:
+            return None
+        from .. import native
+        return native.rl_decode_u8(self.path, self.n)
 
     def iter_runs(self):
         """Yield (sym, runlength) pairs across the whole file, merging runs

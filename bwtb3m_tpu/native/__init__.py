@@ -75,6 +75,16 @@ def get_lib():
         lib.c_rlh_decode.argtypes = [pu8, i64, i64, pu32, pu8, i64, p32, p64]
         lib.c_rlh_decode.restype = i64
         lib.c_sais.argtypes = [p32, i64, i64, p64]
+        pi8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.c_cmp_rot.argtypes = [pu8, i64, i64, p64, i64, i64, pi8]
+        lib.c_pack_bits_u8.argtypes = [pu8, i64, ctypes.c_int, pu8, i64]
+        lib.c_gap_interleave.argtypes = [pu8, i64, p64, p64, i64,
+                                         pu8, i64, pu8, i64, pu8]
+        u32 = ctypes.c_uint32
+        lib.c_rl_encode_u8.argtypes = [ctypes.c_char_p, pu8, i64, u32, u32]
+        lib.c_rl_encode_u8.restype = i64
+        lib.c_rl_decode_u8.argtypes = [ctypes.c_char_p, pu8, i64]
+        lib.c_rl_decode_u8.restype = i64
         _lib = lib
         return _lib
 
@@ -122,6 +132,79 @@ def sais(text: np.ndarray) -> Optional[np.ndarray]:
         K = int(text.max()) + 1
         lib.c_sais(text, n, K, out)
     return out[:n]
+
+
+def rl_encode_u8(path: str, symbols: np.ndarray, sigma: int,
+                 block_size: int) -> bool:
+    """Stream-speed RLB1 writer (sigma <= 256). Returns False without the
+    native lib (caller falls back to the numpy encoder)."""
+    lib = get_lib()
+    if lib is None or sigma > 256:
+        return False
+    syms = np.ascontiguousarray(symbols, dtype=np.uint8)
+    rc = lib.c_rl_encode_u8(path.encode(), syms, len(syms), sigma,
+                            block_size)
+    return rc == 0
+
+
+def rl_decode_u8(path: str, n: int):
+    """Whole-file RLB1 decode to uint8; None without the native lib or on
+    wide-symbol files."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(max(1, n), dtype=np.uint8)
+    rc = lib.c_rl_decode_u8(path.encode(), out, len(out))
+    if rc != n:
+        return None
+    return out[:n]
+
+
+def cmp_rot(dbl_text: np.ndarray, n: int, e: int, xs: np.ndarray,
+            nthreads: int = 4) -> Optional[np.ndarray]:
+    """Three-way circular compare sign(rot(x) - rot(e)) for each x in xs.
+    dbl_text: the text doubled (uint8, 2n bytes). Returns int8 [len(xs)]
+    or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xs = np.ascontiguousarray(xs, dtype=np.int64)
+    out = np.zeros(max(1, len(xs)), dtype=np.int8)
+    if len(xs):
+        lib.c_cmp_rot(np.ascontiguousarray(dbl_text, np.uint8), n, e,
+                      xs, len(xs), nthreads, out)
+    return out[: len(xs)]
+
+
+def pack_bits_u8(syms: np.ndarray, bits: int) -> Optional[np.ndarray]:
+    """Pack uint8 symbols LSB-first at `bits` bits each (large-array path
+    without the int64 staging copy). Returns packed uint8 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    syms = np.ascontiguousarray(syms, dtype=np.uint8)
+    nbytes = (len(syms) * bits + 7) // 8
+    out = np.zeros(max(1, nbytes), dtype=np.uint8)
+    lib.c_pack_bits_u8(syms, len(syms), bits, out, nbytes)
+    return out[:nbytes]
+
+
+def gap_interleave(gap8: np.ndarray, ov_idx: np.ndarray, ov_val: np.ndarray,
+                   left: np.ndarray, right: np.ndarray) -> Optional[np.ndarray]:
+    """Zip two BWT halves guided by a byte-compressed gap histogram
+    (gap8[r]==255 -> overflow list). Returns merged uint8 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    left = np.ascontiguousarray(left, dtype=np.uint8)
+    right = np.ascontiguousarray(right, dtype=np.uint8)
+    out = np.zeros(len(left) + len(right), dtype=np.uint8)
+    lib.c_gap_interleave(
+        np.ascontiguousarray(gap8, np.uint8), len(gap8),
+        np.ascontiguousarray(ov_idx, np.int64),
+        np.ascontiguousarray(ov_val, np.int64), len(ov_idx),
+        left, len(left), right, len(right), out)
+    return out
 
 
 def gt0(text: np.ndarray) -> Optional[np.ndarray]:

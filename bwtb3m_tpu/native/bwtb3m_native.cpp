@@ -317,6 +317,247 @@ int64_t c_rlh_decode(const uint8_t* bytes, int64_t nbits, int64_t nruns,
 
 }  // extern "C"
 
+// ------------------------------------------------------- merge-engine host ops
+
+#include <thread>
+
+extern "C" {
+
+// Three-way circular rotation compare vs rotation e, batched:
+// out[j] = sign(rot(xs[j]) - rot(e)) in {-1, 0, +1}, where rot(p) is the
+// infinite repetition of text starting at p; equal after n symbols -> 0.
+// This is the gt-bitvector oracle of the gap recurrence (SURVEY.md
+// hard-part 3) evaluated only for the positions the chains can consult.
+// `dbl` must be text doubled (2n bytes) so spans never wrap.
+static void cmp_rot_range(const uint8_t* dbl, int64_t n, int64_t e,
+                          const int64_t* xs, int64_t b0, int64_t b1,
+                          int8_t* out) {
+  const uint8_t* pe = dbl + e;
+  for (int64_t j = b0; j < b1; ++j) {
+    const uint8_t* px = dbl + xs[j];
+    int64_t l = 0;
+    int8_t r = 0;
+    while (l < n) {
+      int64_t chunk = n - l < 4096 ? n - l : 4096;
+      if (std::memcmp(px + l, pe + l, (size_t)chunk) == 0) {
+        l += chunk;
+        continue;
+      }
+      for (int64_t t = 0;; ++t) {
+        if (px[l + t] != pe[l + t]) {
+          r = px[l + t] < pe[l + t] ? -1 : 1;
+          break;
+        }
+      }
+      break;
+    }
+    out[j] = r;
+  }
+}
+
+void c_cmp_rot(const uint8_t* dbl, int64_t n, int64_t e, const int64_t* xs,
+               int64_t nx, int64_t nthreads, int8_t* out) {
+  if (nthreads <= 1 || nx < 4096) {
+    cmp_rot_range(dbl, n, e, xs, 0, nx, out);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int64_t per = (nx + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t b0 = t * per, b1 = b0 + per < nx ? b0 + per : nx;
+    if (b0 >= b1) break;
+    ths.emplace_back(cmp_rot_range, dbl, n, e, xs, b0, b1, out);
+  }
+  for (auto& th : ths) th.join();
+}
+
+// Pack n uint8 symbols at `bits` bits each, LSB-first (same layout as
+// c_pack_bits but without the int64 staging copy — used for shipping
+// gigasymbol BWT halves through the device relay).
+void c_pack_bits_u8(const uint8_t* syms, int64_t n, int bits, uint8_t* out,
+                    int64_t out_len) {
+  std::memset(out, 0, (size_t)out_len);
+  int64_t bitpos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t v = syms[i];
+    int64_t base = bitpos >> 3;
+    int sh = (int)(bitpos & 7);
+    uint32_t word = (uint32_t)v << sh;
+    out[base] |= (uint8_t)word;
+    if (sh + bits > 8) out[base + 1] |= (uint8_t)(word >> 8);
+    if (sh + bits > 16) out[base + 2] |= (uint8_t)(word >> 16);
+    bitpos += bits;
+  }
+}
+
+// Gap-guided interleave of two BWT halves (the zip step of one balanced
+// merge, SURVEY.md section 3.1 phase 3): for r in [0, nright], emit
+// gap[r] left symbols then right[r].  gap arrives byte-compressed from
+// the device: gap8[r] == 255 means the true value lives in the sorted
+// overflow list (ov_idx, ov_val).
+void c_gap_interleave(const uint8_t* gap8, int64_t gsize,
+                      const int64_t* ov_idx, const int64_t* ov_val,
+                      int64_t nov, const uint8_t* left, int64_t nleft,
+                      const uint8_t* right, int64_t nright, uint8_t* out) {
+  int64_t li = 0, oi = 0, o = 0;
+  for (int64_t r = 0; r < gsize; ++r) {
+    int64_t g = gap8[r];
+    if (g == 255) {
+      while (oi < nov && ov_idx[oi] < r) ++oi;
+      if (oi < nov && ov_idx[oi] == r) g = ov_val[oi++];
+    }
+    if (g) {
+      std::memcpy(out + o, left + li, (size_t)g);
+      li += g;
+      o += g;
+    }
+    if (r < nright) out[o++] = right[r];
+  }
+  // any remainder (gap histogram shorter than nright+1 never happens,
+  // but keep the zip total-length invariant explicit)
+  if (li < nleft) {
+    std::memcpy(out + o, left + li, (size_t)(nleft - li));
+    o += nleft - li;
+  }
+}
+
+}  // extern "C"
+
+// --------------------------------------------------------------- RLB1 codec
+
+#include <cstdio>
+
+extern "C" {
+
+// Single-pass RLB1 writer (layout documented in io/rl.py + FORMATS.md;
+// role of the reference's huffman::RLEncoder emitting the .bwt).  The
+// numpy encoder's run-splitting union1d pass dominated the 100M pipeline
+// (BENCH.md round 1); this runs at stream speed.  Narrow symbols with
+// count table only (sigma <= 256); returns 0 or -1.
+int64_t c_rl_encode_u8(const char* path, const uint8_t* syms, int64_t n,
+                       uint32_t sigma, uint32_t block_size) {
+  if (sigma > 256 || block_size == 0) return -1;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  int64_t nb = n ? (n + block_size - 1) / block_size : 1;
+  std::vector<uint64_t> block_off(nb);
+  std::vector<uint64_t> cum((size_t)(nb + 1) * sigma, 0);
+  std::vector<uint64_t> running(sigma, 0);
+  std::vector<uint8_t> bsym, blen;
+  std::vector<uint64_t> bbig;
+  uint8_t head[34];
+  std::memcpy(head, "RLB1", 4);
+  head[4] = 1;  // version
+  head[5] = 0;  // flags: narrow symbols, counts present
+  auto put_u32 = [](uint8_t* p, uint32_t v) {
+    for (int i = 0; i < 4; ++i) p[i] = (uint8_t)(v >> (8 * i));
+  };
+  auto put_u64 = [](uint8_t* p, uint64_t v) {
+    for (int i = 0; i < 8; ++i) p[i] = (uint8_t)(v >> (8 * i));
+  };
+  put_u32(head + 6, sigma);
+  put_u64(head + 10, (uint64_t)n);
+  put_u32(head + 18, block_size);
+  put_u64(head + 22, 0);  // footer offset, patched below
+  if (std::fwrite(head, 1, 30, f) != 30) { std::fclose(f); return -1; }
+  for (int64_t b = 0; b < nb; ++b) {
+    block_off[b] = (uint64_t)std::ftell(f);
+    int64_t lo = b * (int64_t)block_size;
+    int64_t hi = lo + block_size < n ? lo + block_size : n;
+    bsym.clear(); blen.clear(); bbig.clear();
+    std::memcpy(cum.data() + (size_t)b * sigma, running.data(),
+                sigma * sizeof(uint64_t));
+    int64_t i = lo;
+    while (i < hi) {
+      uint8_t s = syms[i];
+      int64_t j = i + 1;
+      while (j < hi && syms[j] == s) ++j;
+      int64_t len = j - i;
+      bsym.push_back(s);
+      if (len >= 255) { blen.push_back(255); bbig.push_back((uint64_t)len); }
+      else blen.push_back((uint8_t)len);
+      running[s] += (uint64_t)len;
+      i = j;
+    }
+    uint8_t bh[8];
+    put_u32(bh, (uint32_t)bsym.size());
+    put_u32(bh + 4, (uint32_t)bbig.size());
+    std::fwrite(bh, 1, 8, f);
+    if (!bsym.empty()) {
+      std::fwrite(bsym.data(), 1, bsym.size(), f);
+      std::fwrite(blen.data(), 1, blen.size(), f);
+    }
+    if (!bbig.empty())
+      std::fwrite(bbig.data(), 8, bbig.size(), f);
+  }
+  std::memcpy(cum.data() + (size_t)nb * sigma, running.data(),
+              sigma * sizeof(uint64_t));
+  uint64_t footer_off = (uint64_t)std::ftell(f);
+  std::fwrite(block_off.data(), 8, block_off.size(), f);
+  std::fwrite(cum.data(), 8, cum.size(), f);
+  std::fseek(f, 22, SEEK_SET);
+  uint8_t fo[8];
+  put_u64(fo, footer_off);
+  std::fwrite(fo, 1, 8, f);
+  std::fclose(f);
+  return 0;
+}
+
+// Whole-file RLB1 decode into a uint8 buffer. Returns n or -1 (bad magic,
+// wide symbols, or cap too small).
+int64_t c_rl_decode_u8(const char* path, uint8_t* out, int64_t cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  uint8_t head[30];
+  if (std::fread(head, 1, 30, f) != 30 || std::memcmp(head, "RLB1", 4)) {
+    std::fclose(f); return -1;
+  }
+  uint8_t flags = head[5];
+  if (flags & 1) { std::fclose(f); return -1; }  // wide symbols
+  auto get_u32 = [](const uint8_t* p) {
+    uint32_t v = 0;
+    for (int i = 0; i < 4; ++i) v |= (uint32_t)p[i] << (8 * i);
+    return v;
+  };
+  auto get_u64 = [](const uint8_t* p) {
+    uint64_t v = 0;
+    for (int i = 0; i < 8; ++i) v |= (uint64_t)p[i] << (8 * i);
+    return v;
+  };
+  int64_t n = (int64_t)get_u64(head + 10);
+  uint32_t block_size = get_u32(head + 18);
+  if (n > cap || block_size == 0) { std::fclose(f); return -1; }
+  int64_t nb = n ? (n + block_size - 1) / block_size : 1;
+  std::vector<uint8_t> buf;
+  std::vector<uint64_t> big;
+  int64_t o = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    uint8_t bh[8];
+    if (std::fread(bh, 1, 8, f) != 8) { std::fclose(f); return -1; }
+    uint32_t nruns = get_u32(bh), nbig = get_u32(bh + 4);
+    buf.resize((size_t)nruns * 2);
+    big.resize(nbig);
+    if (nruns && std::fread(buf.data(), 1, (size_t)nruns * 2, f) !=
+                     (size_t)nruns * 2) { std::fclose(f); return -1; }
+    if (nbig && std::fread(big.data(), 8, nbig, f) != nbig) {
+      std::fclose(f); return -1;
+    }
+    uint32_t bi = 0;
+    for (uint32_t k = 0; k < nruns; ++k) {
+      uint8_t s = buf[k];
+      uint8_t l8 = buf[nruns + k];
+      int64_t len = l8 == 255 ? (int64_t)big[bi++] : l8;
+      if (o + len > n) { std::fclose(f); return -1; }
+      std::memset(out + o, s, (size_t)len);
+      o += len;
+    }
+  }
+  std::fclose(f);
+  return o == n ? n : -1;
+}
+
+}  // extern "C"
+
 // ------------------------------------------------------------------ SA-IS
 
 // SA-IS suffix-array construction (Nong/Zhang/Chan, the induced-sorting

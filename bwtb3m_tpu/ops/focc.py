@@ -95,19 +95,22 @@ def _build_focc_jax(bwt: jnp.ndarray, sigma: int, block: int,
         (blocks[:, :, None].astype(jnp.int32) == sym_ids).astype(jnp.uint32),
         axis=1)                                   # [nb, sigma]
     cum = jnp.cumsum(per_block, axis=0, dtype=jnp.uint32)
+    # nb+1 checkpoint rows: a query at i == n (e.g. the upper anchor bound
+    # r = |M|) reads row nb when n % block == 0, which must carry the
+    # total counts, not padding
     occ = jnp.concatenate(
-        [jnp.zeros((1, sigma), jnp.uint32), cum[:-1]], axis=0)  # exclusive
+        [jnp.zeros((1, sigma), jnp.uint32), cum], axis=0)  # [nb+1] exclusive
     total = cum[-1]
     C = jnp.concatenate(
         [jnp.zeros(1, jnp.uint32), jnp.cumsum(total, dtype=jnp.uint32)])
     # occ counts -> 4 little-endian bytes per symbol: col block + 4c + k
     shifts = jnp.array([0, 8, 16, 24], jnp.uint32)
     occ_bytes = ((occ[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(
-        jnp.int8).reshape(nb, 4 * sigma)
+        jnp.int8).reshape(nb + 1, 4 * sigma)
     roww = _row_width(sigma, block)
     rows = jnp.zeros((nb_pad, roww), jnp.int8)
     rows = rows.at[:nb, :block].set(blocks)
-    rows = rows.at[:nb, block : block + 4 * sigma].set(occ_bytes)
+    rows = rows.at[: nb + 1, block : block + 4 * sigma].set(occ_bytes)
     return FusedOcc(rows, C, n, sigma, block)
 
 
@@ -117,7 +120,7 @@ def build_focc(bwt, sigma: int, block: int = BLOCK,
     bwt = jnp.asarray(bwt)
     n = int(bwt.shape[0])
     nb = max(1, (n + block - 1) // block)
-    nb_pad = _pad_rows(nb) if pad_shape else nb
+    nb_pad = _pad_rows(nb + 1) if pad_shape else nb + 1
     return _build_focc_jax(bwt, int(sigma), int(block), int(nb_pad))
 
 

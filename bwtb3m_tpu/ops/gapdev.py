@@ -1,0 +1,411 @@
+"""Device-resident gap-array computation — the scaled merge kernel.
+
+Round-1's GapChainRunner (ops/gap.py) staged text/gt chunks from the host
+every few thousand steps, capping throughput at ~8.5e5 rank queries/s
+(BENCH.md).  This rewrite keeps EVERYTHING on device:
+
+- the packed text lives in HBM as int8 rows [*, 256] for the whole engine
+  run; a chain step reads its symbol with a shared dynamic column slice
+  (all lanes are phase-aligned: walk starts are padded up to ``255 mod
+  256`` positions and masked, so every lane's position at global step k
+  sits in the same column 255 - (k % 256) of its own row — one row gather
+  per lane per 256 steps instead of a host gather per chunk);
+- gt wrap-term bits are precomputed host-side by the native three-way
+  rotation comparator (only for positions whose symbol can trigger the
+  wrap term), shipped bit-packed, and read from a second tiny row gather;
+- each step's rank query is ONE FusedOcc row gather (ops/focc.py);
+- R values are emitted per step through ``lax.scan`` stacking (no
+  loop-carried record buffer — the round-1 dead end) and folded into the
+  gap histogram with one scatter-add per chunk; preisa-sample harvesting
+  is a tiny take_along_axis on the same buffer.
+
+Recurrence and semantics are identical to ops/gap.py (module docstring
+there derives it; reference: SURVEY.md section 3.1 phase 3 HOT LOOP #2,
+arXiv:1604.06687); anchoring is the same monotone interval contraction,
+run as two extra lane batches (lower/upper bound) through the same
+kernel.  All rank values stay < 2^31 inside one merge (the balanced tree
+keeps every right region below 2^31 for n < 2^32), so lanes carry int32;
+texts of 2^31..2^32 symbols need no wide path here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .focc import FusedOcc, rank_batch_f
+
+TEXT_BLOCK = 256
+
+
+def _select_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx[j]] for a small broadcastable table via compare-mask."""
+    tab = jnp.broadcast_to(table[None, :], (idx.shape[0], table.shape[0]))
+    col = lax.broadcasted_iota(jnp.int32, tab.shape, 1)
+    return jnp.sum(jnp.where(col == idx[:, None], tab, 0), axis=1)
+
+
+def _chain_step(focc: FusedOcc, c_first: jnp.ndarray, consts: jnp.ndarray,
+                r: jnp.ndarray, c: jnp.ndarray, g0: jnp.ndarray,
+                active: jnp.ndarray) -> jnp.ndarray:
+    """One masked recurrence step for all lanes; returns updated r."""
+    rk = rank_batch_f(focc, c, r.astype(jnp.uint32)).astype(jnp.int32)
+    cnt_lt = _select_small(c_first, c)
+    corr = jnp.logical_and(consts[0] < r, c == consts[1]).astype(jnp.int32)
+    wrap = jnp.logical_and(c == consts[2], g0 == 1).astype(jnp.int32)
+    r_new = cnt_lt + rk - corr + wrap
+    return jnp.where(active, r_new, r)
+
+
+def _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase):
+    """Row gathers for one 256-step window: text rows + packed gt rows."""
+    off = jnp.maximum(starts_al - kbase, 0)
+    prow = off >> 8
+    trow = jnp.take(
+        text_rows, jnp.minimum(prow + lo0_row, text_rows.shape[0] - 1),
+        axis=0)                                     # [T, 256] int8
+    grow = jnp.take(
+        gt_rows, jnp.minimum(prow, gt_rows.shape[0] - 1), axis=0)  # [T, 32]
+    return trow, grow
+
+
+def _col_read(trow, grow, i):
+    col = 255 - i
+    c = lax.dynamic_slice_in_dim(trow, col, 1, axis=1)[:, 0].astype(jnp.int32)
+    gbyte = lax.dynamic_slice_in_dim(grow, col >> 3, 1, axis=1)[:, 0]
+    g0 = ((gbyte >> (col & 7).astype(jnp.uint8)) & 1).astype(jnp.int32)
+    return c, g0
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(10,))
+def _chain_chunk(outer: int, focc: FusedOcc, text_rows, gt_rows, lo0_row,
+                 c_first, consts, starts_al, afrom, ato, gap, r0, k0,
+                 samp_idx):
+    """Run outer*256 steps for all lanes, recording every R into the gap
+    histogram (out-of-range sentinel rows are dropped by the scatter) and
+    harvesting the sample rows named by samp_idx. Returns (r, gap, samp)."""
+    sentinel = jnp.int32(gap.shape[0])
+
+    def outer_body(r, o):
+        kbase = k0 + o * 256
+        trow, grow = _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase)
+
+        def inner(r, i):
+            c, g0 = _col_read(trow, grow, i)
+            k = kbase + i
+            active = jnp.logical_and(k >= afrom, k < ato)
+            r = _chain_step(focc, c_first, consts, r, c, g0, active)
+            y = jnp.where(active, r, sentinel)
+            return r, y
+
+        r, ys = lax.scan(inner, r, jnp.arange(256, dtype=jnp.int32))
+        return r, ys
+
+    r, ys = lax.scan(outer_body, r0, jnp.arange(outer, dtype=jnp.int32))
+    ys_flat = ys.reshape(outer * 256, starts_al.shape[0])
+    gap = gap.at[ys_flat.reshape(-1)].add(1, mode="drop")
+    samp = jnp.take_along_axis(ys_flat, samp_idx, axis=0)
+    return r, gap, samp
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _anchor_chunk(outer: int, focc: FusedOcc, text_rows, gt_rows, lo0_row,
+                  c_first, consts, starts_al, afrom, ato, r0, k0):
+    """Same stepping without recording — used for both contraction bounds."""
+
+    def outer_body(r, o):
+        kbase = k0 + o * 256
+        trow, grow = _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase)
+
+        def inner(i, r):
+            c, g0 = _col_read(trow, grow, i)
+            k = kbase + i
+            active = jnp.logical_and(k >= afrom, k < ato)
+            return _chain_step(focc, c_first, consts, r, c, g0, active)
+
+        return lax.fori_loop(0, 256, inner, r), 0
+
+    r, _ = lax.scan(outer_body, r0, jnp.arange(outer, dtype=jnp.int32))
+    return r
+
+
+def _pad_pow2(x: int, lo: int = 1024) -> int:
+    return max(lo, 1 << (max(1, x) - 1).bit_length())
+
+
+def build_text_rows(text: np.ndarray) -> "jnp.ndarray":
+    """Upload the whole text once as int8 rows [ceil(n/256), 256] (4-bit
+    packed transfer; sigma <= 16)."""
+    from .. import native
+    from .pack import unpack_bits_device
+
+    n = len(text)
+    nrows = (n + TEXT_BLOCK - 1) // TEXT_BLOCK
+    npad = nrows * TEXT_BLOCK
+    t = np.asarray(text, dtype=np.uint8)
+    if npad != n:
+        t = np.concatenate([t, np.zeros(npad - n, np.uint8)])
+    packed = native.pack_bits_u8(t, 4)
+    if packed is None:
+        from ..io.compact import pack_bits
+        packed = pack_bits(t.astype(np.int64), 4)
+    dev = unpack_bits_device(jnp.asarray(packed), 4, npad)
+    return dev.astype(jnp.int8).reshape(nrows, TEXT_BLOCK)
+
+
+def upload_bwt(bwt: np.ndarray, sigma: int) -> "jnp.ndarray":
+    """Host uint8 BWT -> device int8 array (4-bit packed transfer)."""
+    from .. import native
+    from .pack import unpack_bits_device
+
+    n = len(bwt)
+    pad = (-n) % 2
+    b = np.asarray(bwt, dtype=np.uint8)
+    if pad:
+        b = np.concatenate([b, np.zeros(pad, np.uint8)])
+    packed = native.pack_bits_u8(b, 4)
+    if packed is None:
+        from ..io.compact import pack_bits
+        packed = pack_bits(b.astype(np.int64), 4)
+    return unpack_bits_device(jnp.asarray(packed), 4, n + pad)[:n].astype(jnp.int8)
+
+
+class DeviceGapRunner:
+    """Anchored, fully device-resident gap computation for one pair merge
+    of left block [s, m) into right region M = [m, e).
+
+    The caller provides the engine-wide device text rows and host text
+    (uint8, plus its doubled copy for the native comparator).  ``compute``
+    runs anchoring + chains and leaves the gap histogram on device;
+    ``fetch_gap_compressed`` returns the byte-compressed histogram for the
+    host interleave; ``cnt_le_at`` serves the right-side sample updates.
+    """
+
+    def __init__(self, focc: FusedOcc, text_rows, text_host: np.ndarray,
+                 dbl_text: Optional[np.ndarray], s: int, m: int, e: int,
+                 isa_m: int, first_hist: np.ndarray,
+                 lane_bucket: int = 1 << 16, sample_rate: int = 0,
+                 nthreads: int = 4, log=None):
+        self.focc = focc
+        self.text_rows = text_rows
+        self.text = text_host
+        self.dbl = dbl_text
+        self.n = len(text_host)
+        self.s, self.m, self.e = int(s), int(m), int(e)
+        self.isa_m = int(isa_m)
+        self.gap_size = self.e - self.m
+        assert focc.n == self.gap_size
+        self.lane_bucket = lane_bucket
+        self.sample_rate = int(sample_rate)
+        self.nthreads = nthreads
+        self.log = log
+        self.sigma = int(focc.sigma)
+        block_len = self.m - self.s
+        assert block_len < (1 << 31), "left block must stay below 2^31"
+        # c_first[c] = number of M rotations starting with a symbol < c
+        self.c_first = jnp.asarray(
+            np.concatenate([[0], np.cumsum(first_hist)[:-1]]).astype(np.int32))
+        self.sym_before_m = int(text_host[(self.m - 1) % self.n])
+        self.sym_last = int(text_host[(self.e - 1) % self.n])
+        self.consts = jnp.asarray(np.array(
+            [self.isa_m, self.sym_before_m, self.sym_last], dtype=np.int32))
+        # gt coverage: positions p in [s, cap) with text[p] == sym_last can
+        # trigger the wrap term; cap grows lazily when anchors extend
+        self.lo0 = (self.s // TEXT_BLOCK) * TEXT_BLOCK
+        self._gt_cap = 0
+        self._gt_packed = None  # host uint8 [rows, 32]
+        self.gt_rows = None
+        self.gap = None
+        self._samples: list = []
+        self.final_rs = None
+        self._lanes = None
+
+    # ---------------------------------------------------------------- gt
+
+    def _ensure_gt(self, cap: int) -> None:
+        """Ensure wrap-term gt bits cover walk positions [s, cap)."""
+        cap = min(cap, self.e - 1)  # walks never consult x = p+1 beyond e-1
+        if cap <= self._gt_cap:
+            return
+        lo = max(self.s, self._gt_cap)
+        ps = lo + np.flatnonzero(
+            np.asarray(self.text[lo:cap]) == self.sym_last).astype(np.int64)
+        xs = ps + 1  # the recurrence consults gt[p + 1]
+        if len(xs):
+            from .. import native
+            bits = native.cmp_rot(self.dbl, self.n, self.e % self.n, xs,
+                                  self.nthreads) if self.dbl is not None else None
+            if bits is not None:
+                gt = (bits > 0).astype(np.uint8)
+            else:
+                from .gap import gt_against
+                gt = gt_against(self.text.astype(np.int32), self.e % self.n, xs)
+        else:
+            gt = np.zeros(0, np.uint8)
+        nrows = _pad_pow2(
+            (cap + 1 - self.lo0 + TEXT_BLOCK - 1) // TEXT_BLOCK, lo=4)
+        packed = np.zeros((nrows, TEXT_BLOCK // 8), np.uint8)
+        if self._gt_packed is not None:
+            packed[: self._gt_packed.shape[0]] = self._gt_packed
+        # bit for walk position p lives at offset p - lo0 (gt of p+1)
+        offs = ps - self.lo0
+        np.bitwise_or.at(
+            packed.reshape(-1), offs >> 3,
+            (gt << (offs & 7).astype(np.uint8)).astype(np.uint8))
+        self._gt_packed = packed
+        self.gt_rows = jnp.asarray(packed)
+        self._gt_cap = cap
+
+    # ------------------------------------------------------------- lanes
+
+    def _align(self, starts: np.ndarray, lens: np.ndarray):
+        """Offset coords + phase alignment (walk starts padded up to
+        255 mod 256 positions; the pad steps are masked off)."""
+        T = self.lane_bucket
+        start_off = starts - self.lo0
+        aligned = ((start_off + 1 + 255) // 256) * 256 - 1
+        afrom = aligned - start_off
+        ato = afrom + lens
+        sa = np.full(T, 255, np.int32)
+        af = np.zeros(T, np.int32)
+        at = np.zeros(T, np.int32)
+        k = len(starts)
+        sa[:k] = aligned
+        af[:k] = afrom
+        at[:k] = ato
+        return sa, af, at, aligned
+
+    def _run_anchor(self, starts: np.ndarray, lbs: np.ndarray,
+                    r0_val: int) -> np.ndarray:
+        """Contraction pass from one bound; lane j walks positions
+        (starts[j], starts[j]+lbs[j]] seeded at r0_val."""
+        walk_start = starts + lbs
+        self._ensure_gt(int(walk_start.max()) + 1)
+        sa, af, at, _ = self._align(walk_start, lbs)
+        r = jnp.full(self.lane_bucket, r0_val, jnp.int32)
+        max_steps = int(at.max())
+        done = 0
+        saj = jnp.asarray(sa)
+        afj = jnp.asarray(af)
+        atj = jnp.asarray(at)
+        while done < max_steps:
+            outer = min(8, (max_steps - done + 255) // 256)
+            r = _anchor_chunk(outer, self.focc, self.text_rows, self.gt_rows,
+                              self.lo0 // TEXT_BLOCK, self.c_first,
+                              self.consts, saj, afj, atj, r,
+                              jnp.int32(done))
+            done += outer * 256
+        return np.asarray(r)[: len(starts)].astype(np.int64)
+
+    def anchor(self, starts: np.ndarray, lookback: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """R(start_j + 1) by interval contraction over up to `lookback`
+        steps; per-lane lookback clamps keep positions <= e-2.  Returns
+        (ranks, resolved mask)."""
+        lbs = np.minimum(lookback, (self.e - 2) - starts)
+        lbs = np.maximum(lbs, 1)
+        lo = self._run_anchor(starts, lbs, 0)
+        hi = self._run_anchor(starts, lbs, self.gap_size)
+        return lo, lo == hi
+
+    def run_chains(self, starts: np.ndarray, seeds: np.ndarray,
+                   lens: np.ndarray) -> None:
+        """Walk lane j from position starts[j] (seeded with
+        R(starts[j]+1) = seeds[j]) for lens[j] steps, recording every new
+        R into the device gap histogram and harvesting (pos, R) at
+        sample_rate-aligned positions."""
+        T = self.lane_bucket
+        gpad = _pad_pow2(self.gap_size + 2)
+        self.gap = jnp.zeros(gpad, jnp.int32)
+        self._ensure_gt(int(starts.max()) + 1)
+        sa, af, at, aligned = self._align(starts, lens)
+        r = np.zeros(T, np.int32)
+        r[: len(starts)] = seeds
+        r = jnp.asarray(r)
+        saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
+        max_steps = int(at.max())
+        rate = self.sample_rate
+        aligned_abs = aligned + self.lo0
+        phase = (aligned_abs % rate).astype(np.int64) if rate else None
+        done = 0
+        while done < max_steps:
+            outer = min(8, (max_steps - done + 255) // 256)
+            chunklen = outer * 256
+            if rate:
+                nsamp = chunklen // rate + 1
+                k0p = (phase - done) % rate  # first sample step in chunk
+                idx = (k0p[None, :] + rate * np.arange(nsamp)[:, None])
+                valid = idx < chunklen
+                idxc = np.zeros((nsamp, T), np.int32)
+                idxc[:, : len(starts)] = np.minimum(idx, chunklen - 1)
+            else:
+                nsamp = 1
+                idxc = np.zeros((1, T), np.int32)
+                valid = None
+            r, self.gap, samp = _chain_chunk(
+                outer, self.focc, self.text_rows, self.gt_rows,
+                self.lo0 // TEXT_BLOCK, self.c_first, self.consts,
+                saj, afj, atj, self.gap, r, jnp.int32(done),
+                jnp.asarray(idxc))
+            if rate:
+                self._samples.append(
+                    (done, np.asarray(samp)[:, : len(starts)], valid))
+            done += chunklen
+        self.final_rs = np.asarray(r)[: len(starts)].astype(np.int64)
+        self._lanes = (starts.copy(), lens.copy(), aligned_abs.copy(),
+                       af[: len(starts)].copy(), at[: len(starts)].copy())
+
+    # ------------------------------------------------------------ results
+
+    def gap_checksum(self) -> int:
+        return int(jnp.sum(self.gap[: self.gap_size + 1]))
+
+    def harvest_samples(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(positions, R values) at sample_rate-aligned positions."""
+        if not self.sample_rate:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        starts, lens, aligned_abs, af, at = self._lanes
+        pos_all, val_all = [], []
+        for done, samp, valid in self._samples:
+            nsamp, k = samp.shape
+            ks = ((aligned_abs % self.sample_rate - done) % self.sample_rate)[
+                None, :] + self.sample_rate * np.arange(nsamp)[:, None] + done
+            p = aligned_abs[None, :] - ks
+            ok = (ks >= af[None, :]) & (ks < at[None, :]) & valid
+            pos_all.append(p[ok])
+            val_all.append(samp[ok])
+        pos = np.concatenate(pos_all) if pos_all else np.zeros(0, np.int64)
+        val = np.concatenate(val_all).astype(np.int64) if val_all else \
+            np.zeros(0, np.int64)
+        order = np.argsort(pos)
+        return pos[order], val[order]
+
+    def fetch_gap_compressed(self):
+        """(gap8, ov_idx, ov_val): byte histogram with 255 = overflow."""
+        G = self.gap_size + 1
+        gap = self.gap[:G]
+        g8 = jnp.minimum(gap, 255).astype(jnp.uint8)
+        nov = int(jnp.sum((gap >= 255).astype(jnp.int32)))
+        if nov:
+            size = _pad_pow2(nov, lo=16)
+            ov_idx = jnp.flatnonzero(gap >= 255, size=size, fill_value=G)
+            ov_val = jnp.take(gap, jnp.minimum(ov_idx, G - 1))
+            ov_idx_np = np.asarray(ov_idx, dtype=np.int64)[:nov]
+            ov_val_np = np.asarray(ov_val, dtype=np.int64)[:nov]
+        else:
+            ov_idx_np = np.zeros(0, np.int64)
+            ov_val_np = np.zeros(0, np.int64)
+        return np.asarray(g8), ov_idx_np, ov_val_np
+
+    def cnt_le_at(self, ranks: np.ndarray) -> np.ndarray:
+        """cnt_le[r] = #left suffixes with R <= r, at the given ranks."""
+        if len(ranks) == 0:
+            return np.zeros(0, np.int64)
+        cnt = jnp.cumsum(self.gap[: self.gap_size + 1], dtype=jnp.int32)
+        out = jnp.take(cnt, jnp.asarray(ranks.astype(np.int32)))
+        return np.asarray(out, dtype=np.int64)

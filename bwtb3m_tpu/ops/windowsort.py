@@ -96,8 +96,15 @@ def block_suffix_order(window: np.ndarray, block_len: int, sigma: int
     suffix sorts first, i.e. smaller positions first).
     """
     window = np.asarray(window, dtype=np.int32)
-    W = len(window)
     win_dev = jnp.asarray(window)
+    return block_suffix_order_window(win_dev, block_len, sigma)
+
+
+def block_suffix_order_window(win_dev, block_len: int, sigma: int
+                              ) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """block_suffix_order for a window already resident on device (the
+    scaled engine slices it from the device text rows — no host gather or
+    upload per block)."""
     lo_sa = np.asarray(_window_order(win_dev, int(sigma), False))
     hi_sa = np.asarray(_window_order(win_dev, int(sigma), True))
     lo_block = lo_sa[lo_sa < block_len]

@@ -84,15 +84,29 @@ def _dense_ranks_from_sorted(keys, s, D: int, axis: str) -> jnp.ndarray:
     return base + incl
 
 
-def _build_kernel(D: int, K: int, sigma: int, axis: str):
-    n = D * K
+def _build_kernel(D: int, K: int, n: int, sigma: int, axis: str):
+    """n real positions laid out in slots [0, n) of N = D*K; slots [n, N)
+    are pads holding a copy of text[0 : N-n] so packed keys near the wrap
+    read the correct circular successors (the pad count is kept >= the
+    pack width by the caller). Pads carry rank == their slot id (> any
+    real rank) at all times, so they sort after every real entry and stay
+    out of the dense-rank renumbering of the real rotations."""
+    N = D * K
+    pad = N - n
     bits = max(1, math.ceil(math.log2(max(2, sigma))))
     # the halo only extends one shard to the right: cap the packed width
     w = min(_pack_width(sigma), K)
+    assert pad == 0 or pad >= w
+
+    def real_max_dense(nr_s):
+        """Dense rank of the last REAL entry (global sorted index n-1)."""
+        cand = nr_s[(n - 1) % K]
+        return lax.all_gather(cand, axis)[(n - 1) // K]
 
     def kernel(sym_local: jnp.ndarray):
         s = lax.axis_index(axis)
-        pos = s * K + lax.broadcasted_iota(jnp.int32, (K,), 0)
+        pos = s * K + lax.broadcasted_iota(jnp.int32, (K,), 0)  # slot ids
+        is_pad = pos >= n
 
         # ---- initial key: w symbols packed, halo from the next shard ----
         halo = lax.ppermute(sym_local[:w], axis, _shift_perm(D, 1))
@@ -100,12 +114,26 @@ def _build_kernel(D: int, K: int, sigma: int, axis: str):
         key0 = jnp.zeros(K, jnp.uint32)
         for j in range(w):
             key0 = (key0 << bits) | lax.dynamic_slice(ext, (j,), (K,))
+        # pads must sort strictly after every real entry: max key plus a
+        # flag column (a real packed key can itself be 0xFFFFFFFF)
+        key0 = jnp.where(is_pad, jnp.uint32(0xFFFFFFFF), key0)
+        padflag = is_pad.astype(jnp.uint32)
 
-        k_s, p_s = distributed_sort((key0, pos), num_keys=2, D=D, axis=axis)
-        r_s = _dense_ranks_from_sorted((k_s,), s, D, axis)
+        k_s, f_s, p_s = distributed_sort(
+            (key0, padflag, pos), num_keys=3, D=D, axis=axis)
+        r_s = _dense_ranks_from_sorted((k_s, f_s), s, D, axis)
         _pp, rank_by_pos = distributed_sort((p_s, r_s), num_keys=1, D=D, axis=axis)
-        gmax0 = lax.all_gather(r_s[-1], axis)[D - 1]
-        done0 = gmax0 == jnp.int32(n - 1)
+        rank_by_pos = jnp.where(is_pad, pos, rank_by_pos)
+        done0 = real_max_dense(r_s) == jnp.int32(n - 1)
+
+        def roll2(rank, k):
+            """rank at real position (slot + k) mod n for real slots."""
+            if pad == 0:
+                return _roll_rank(rank, k, D, K, axis)
+            a = _roll_rank(rank, k % N, D, K, axis)
+            b = _roll_rank(rank, (k + pad) % N, D, K, axis)
+            # pos + k < n, written overflow-safe (pos + k can pass 2^31)
+            return jnp.where(pos < n - k, a, b)
 
         def cond(carry):
             _rank, _sa, k, done = carry
@@ -113,14 +141,14 @@ def _build_kernel(D: int, K: int, sigma: int, axis: str):
 
         def body(carry):
             rank, _sa, k, _done = carry
-            r2 = _roll_rank(rank, k, D, K, axis)
+            r2 = roll2(rank, k)
             r1s, r2s, ps = distributed_sort(
                 (rank, r2, pos), num_keys=3, D=D, axis=axis
             )
             nr_s = _dense_ranks_from_sorted((r1s, r2s), s, D, axis)
             _pp, new_rank = distributed_sort((ps, nr_s), num_keys=1, D=D, axis=axis)
-            gmax = lax.all_gather(nr_s[-1], axis)[D - 1]
-            done = gmax == jnp.int32(n - 1)
+            new_rank = jnp.where(is_pad, pos, new_rank)
+            done = real_max_dense(nr_s) == jnp.int32(n - 1)
             return (new_rank, ps, k * 2, done)
 
         rank_by_pos, sa, _k, _done = lax.while_loop(
@@ -129,10 +157,13 @@ def _build_kernel(D: int, K: int, sigma: int, axis: str):
 
         # ---- BWT: gather sym[(sa-1) mod n] via two distributed sorts ----
         # route each rank's request to the owner of its target position;
-        # positions are a permutation, so after sorting by target the shard
-        # holds exactly its own positions in order -> symbol = sym_local.
-        rank_ids = s * K + lax.broadcasted_iota(jnp.int32, (K,), 0)
-        target = jnp.where(sa == 0, n - 1, sa - 1)
+        # targets are a permutation of all N slots (pads request their own
+        # slot), so after sorting by target the shard holds exactly its own
+        # positions in order -> symbol = sym_local.
+        rank_ids = pos
+        sorted_is_real = pos < n  # pads occupy the top N-n sorted slots
+        target = jnp.where(sorted_is_real,
+                           jnp.where(sa == 0, n - 1, sa - 1), pos)
         _tp, req_rank = distributed_sort((target, rank_ids), num_keys=1, D=D, axis=axis)
         _rr, bwt = distributed_sort(
             (req_rank, sym_local), num_keys=1, D=D, axis=axis
@@ -159,11 +190,19 @@ def suffix_array_sharded(
         raise ValueError(
             "int32 rank space supports n < 2^31; the int64 rank path is a "
             "planned extension")
-    if n % D != 0:
-        raise ValueError("text length %d not divisible by mesh size %d" % (n, D))
-    K = n // D
-    sym_sh = shard_1d(mesh, jnp.asarray(np.asarray(symbols, dtype=np.int32)), axis)
-    kernel = _build_kernel(D, K, int(sigma), axis)
+    sym = np.asarray(symbols, dtype=np.int32)
+    if n % D == 0:
+        K = n // D
+    else:
+        # ragged lengths: pad slots carry a copy of the first N-n symbols
+        # so packed keys read correct circular successors; the kernel pins
+        # pad ranks above every real rank and the wrapper strips them.
+        # Keep the pad at least one pack width wide.
+        w = min(_pack_width(int(sigma)), (n + D - 1) // D)
+        K = -(-(n + w) // D)
+        sym = np.concatenate([sym, np.resize(sym, D * K - n)])
+    sym_sh = shard_1d(mesh, jnp.asarray(sym), axis)
+    kernel = _build_kernel(D, K, n, int(sigma), axis)
     fn = jax.jit(
         jax.shard_map(
             kernel,
@@ -172,7 +211,10 @@ def suffix_array_sharded(
             out_specs=(P(axis), P(axis), P(axis)),
         )
     )
-    return fn(sym_sh)
+    sa, rank, bwt = fn(sym_sh)
+    if D * K != n:
+        return sa[:n], rank[:n], bwt[:n]
+    return sa, rank, bwt
 
 
 def sharded_bwt(symbols, sigma: int, mesh: Mesh, axis: str = AXIS):

@@ -14,10 +14,13 @@ def _naive_rank(bwt, c, i):
 
 def test_focc_rank_access_random():
     rng = np.random.default_rng(0)
-    for n, sigma in ((1, 2), (7, 3), (300, 5), (5000, 6), (70000, 2)):
+    for n, sigma in ((1, 2), (7, 3), (300, 5), (512, 4), (5000, 6),
+                     (4096, 5), (70000, 2)):
         bwt = rng.integers(0, sigma, n).astype(np.int8)
         focc = build_focc(bwt, sigma)
         q = rng.integers(0, n + 1, 257).astype(np.uint32)
+        q[0] = n  # regression: i == n must read the total-count row
+        q[1] = 0
         c = rng.integers(0, sigma, 257).astype(np.int32)
         got = np.asarray(rank_batch_f(focc, jnp.asarray(c), jnp.asarray(q)))
         for j in range(len(q)):

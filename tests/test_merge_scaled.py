@@ -1,0 +1,85 @@
+"""Scaled blockwise engine (BWT+samples regions, device chains) vs the
+doubling engine — bit-identical BWT, preisa samples, r_start."""
+
+import numpy as np
+import pytest
+
+from bwtb3m_tpu.engine.options import BwtOptions
+from bwtb3m_tpu.engine.merge_scaled import blockwise_bwt_scaled
+from bwtb3m_tpu.ops.doubling import suffix_array
+from bwtb3m_tpu.util.log import VerboseLog
+
+
+def _opts(n, nb, tmp_path):
+    return BwtOptions(input_path="x",
+                      output_filename=str(tmp_path / "t.bwt"),
+                      max_block_symbols=-(-n // nb))
+
+
+@pytest.mark.parametrize("n,nb,rate", [
+    (4096, 4, 256),   # 256-aligned blocks (regression: rank at i == |M|)
+    (5000, 3, 256),   # ragged tail block
+    (3000, 7, 128),   # many levels + carried odd region
+    (2048, 2, 32),    # single merge, dense sampling
+])
+def test_scaled_matches_doubling_random(n, nb, rate, tmp_path):
+    rng = np.random.default_rng(n + nb)
+    text = rng.integers(0, 4, n).astype(np.int32)
+    bwt_s, spos, srank, hist = blockwise_bwt_scaled(
+        text, 4, _opts(n, nb, tmp_path), VerboseLog(0),
+        sample_rate=rate, lane_bucket=64)
+    sa, isa, bwt_d = suffix_array(text, 4)
+    assert np.array_equal(bwt_s.astype(np.int64), np.asarray(bwt_d, np.int64))
+    assert np.array_equal(spos, np.arange(0, n, rate))
+    assert np.array_equal(srank, np.asarray(isa)[spos])
+    assert np.array_equal(hist, np.bincount(text, minlength=4))
+
+
+def test_scaled_repetitive_text(tmp_path):
+    rng = np.random.default_rng(5)
+    seg = rng.integers(0, 4, 97)
+    n = 4000
+    text = np.tile(seg, n // 97 + 1)[:n].astype(np.int32)
+    idx = rng.integers(0, n, 40)
+    text[idx] = rng.integers(0, 4, len(idx))
+    bwt_s, spos, srank, _ = blockwise_bwt_scaled(
+        text, 4, _opts(n, 5, tmp_path), VerboseLog(0),
+        sample_rate=512, lane_bucket=32)
+    sa, isa, bwt_d = suffix_array(text, 4)
+    assert np.array_equal(bwt_s.astype(np.int64), np.asarray(bwt_d, np.int64))
+    assert np.array_equal(srank, np.asarray(isa)[spos])
+
+
+def test_scaled_pacterm_like(tmp_path):
+    # sigma=5 with unique smallest terminator (the BWA pipeline shape)
+    rng = np.random.default_rng(9)
+    n = 3333
+    text = rng.integers(1, 5, n).astype(np.int32)
+    text[-1] = 0
+    bwt_s, spos, srank, _ = blockwise_bwt_scaled(
+        text, 5, _opts(n, 4, tmp_path), VerboseLog(0),
+        sample_rate=256, lane_bucket=64)
+    sa, isa, bwt_d = suffix_array(text, 5)
+    assert np.array_equal(bwt_s.astype(np.int64), np.asarray(bwt_d, np.int64))
+    assert np.array_equal(srank, np.asarray(isa)[spos])
+
+
+def test_scaled_via_compute_bwt_engine_merge(tmp_path):
+    # end-to-end through the api: engine="merge" now routes to the scaled
+    # implementation; checkbwt + bwtcomputessa must accept its outputs
+    from bwtb3m_tpu.engine import check_bwt, compute_bwt, compute_ssa
+    rng = np.random.default_rng(11)
+    n = 6000
+    raw = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    p = tmp_path / "t.bin"
+    p.write_bytes(raw.tobytes())
+    res = compute_bwt(BwtOptions(
+        input_path=str(p), engine="merge", max_block_symbols=2048,
+        preisa_sampling_rate=512, bwt_only=True))
+    text = raw.astype(np.int32)
+    assert check_bwt(res, text)
+    sa_path, isa_path = compute_ssa(res.bwt_path, 32, 64)
+    from bwtb3m_tpu.io import formats
+    _r, sa_vals = formats.read_sampled_array(sa_path)
+    sa, isa, _ = suffix_array(text, int(text.max()) + 1)
+    assert np.array_equal(sa_vals, np.asarray(sa)[::32])
