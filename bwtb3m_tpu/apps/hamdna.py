@@ -86,7 +86,9 @@ def _md_and_nm(ref_codes: np.ndarray, read_codes: np.ndarray) -> Tuple[str, int]
 
 
 def all_ham_dna(bwt_path: str, reads_path: str, maxmis: int = 2,
-                out=None) -> int:
+                out=None, bam_path: str = None) -> int:
+    """When ``bam_path`` is given, emit BAM (the reference's output format,
+    allHamDna.cpp:198-253, via io/bam.py); otherwise SAM text to ``out``."""
     out = out or sys.stdout
     log = VerboseLog(1)
     result = BwtResult.load(bwt_path)
@@ -103,9 +105,33 @@ def all_ham_dna(bwt_path: str, reads_path: str, maxmis: int = 2,
     from ..io.pac import read_pac
     ref_codes = read_pac(result.meta["input"])
 
-    out.write("@HD\tVN:1.6\tSO:unknown\n")
-    out.write("@SQ\tSN:ref\tLN:%d\n" % ref_len)
-    out.write("@PG\tID:allHamDna\tPN:allHamDna\n")
+    header = ("@HD\tVN:1.6\tSO:unknown\n"
+              "@SQ\tSN:ref\tLN:%d\n"
+              "@PG\tID:allHamDna\tPN:allHamDna\n" % ref_len)
+    bam = None
+    if bam_path is not None:
+        from ..io.bam import BamWriter
+        bam_fh = open(bam_path, "wb")
+        bam = BamWriter(bam_fh, [("ref", ref_len)], header)
+    else:
+        out.write(header)
+
+    def emit(name, flag, pos, m, read_str, nm, md):
+        """One ungapped alignment (pos 0-based) or, with pos < 0, an
+        unmapped record."""
+        if bam is not None:
+            if pos < 0:
+                bam.write_record(name, 4, -1, -1, 0, [], read_str)
+            else:
+                bam.write_record(name, flag, 0, pos, 255, [(m, "M")],
+                                 read_str, tags={"NM": nm, "MD": md})
+            return
+        if pos < 0:
+            out.write("%s\t4\t*\t0\t0\t*\t*\t0\t0\t%s\t*\n" % (name, read_str))
+        else:
+            out.write(
+                "%s\t%d\tref\t%d\t255\t%dM\t*\t0\t0\t%s\t*\tNM:i:%d\tMD:Z:%s\n"
+                % (name, flag, pos + 1, m, read_str, nm, md))
 
     def reads():
         if reads_path.endswith((".fq", ".fastq", ".fq.gz", ".fastq.gz")):
@@ -136,14 +162,13 @@ def all_ham_dna(bwt_path: str, reads_path: str, maxmis: int = 2,
                     continue
                 ref_win = ref_codes[pos : pos + m]
                 md, nm = _md_and_nm(ref_win, pat)
-                out.write(
-                    "%s\t%d\tref\t%d\t255\t%dM\t*\t0\t0\t%s\t*\tNM:i:%d\tMD:Z:%s\n"
-                    % (name, strand, pos + 1, m, read_str, nm, md)
-                )
+                emit(name, strand, pos, m, read_str, nm, md)
                 nhits += 1
                 found = True
         if not found:
-            out.write("%s\t4\t*\t0\t0\t*\t*\t0\t0\t%s\t*\n"
-                      % (name, seq.decode()))
+            emit(name, 4, -1, m, seq.decode(), 0, "")
+    if bam is not None:
+        bam.close()
+        bam_fh.close()
     log.v("allHamDna: %d reads, %d alignments" % (nreads, nhits))
     return 0

@@ -34,7 +34,10 @@ def all_ham_dna(argv: List[str]) -> int:
     ai = ArgInfo(argv, "allHamDna")
     if len(ai.restargs) < 2:
         sys.stderr.write(
-            "usage: allHamDna [maxmis=2] <ref-pacterm.bwt> <reads.fa|.fq>\n")
+            "usage: allHamDna [maxmis=2] [obam=out.bam] "
+            "<ref-pacterm.bwt> <reads.fa|.fq>\n")
         return 1
     from ..apps.hamdna import all_ham_dna as run
-    return run(ai.restargs[0], ai.restargs[1], maxmis=ai.get_int("maxmis", 2))
+    return run(ai.restargs[0], ai.restargs[1],
+               maxmis=ai.get_int("maxmis", 2),
+               bam_path=ai.get("obam", None) or None)
