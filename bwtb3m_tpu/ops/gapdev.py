@@ -82,13 +82,15 @@ def _col_read(trow, grow, i):
     return c, g0
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(10,))
-def _chain_chunk(outer: int, focc: FusedOcc, text_rows, gt_rows, lo0_row,
-                 c_first, consts, starts_al, afrom, ato, gap, r0, k0,
-                 samp_idx):
+def _chain_chunk_impl(outer: int, focc: FusedOcc, text_rows, gt_rows,
+                      lo0_row, c_first, consts, starts_al, afrom, ato, gap,
+                      r0, k0, samp_idx):
     """Run outer*256 steps for all lanes, recording every R into the gap
     histogram (out-of-range sentinel rows are dropped by the scatter) and
-    harvesting the sample rows named by samp_idx. Returns (r, gap, samp)."""
+    harvesting the sample rows named by samp_idx. Returns (r, gap, samp).
+    Plain traceable body — also the per-shard program of the mesh-sharded
+    merge (parallel/merge.py shards the lane axis and keeps the occ rows
+    replicated)."""
     sentinel = jnp.int32(gap.shape[0])
 
     def outer_body(r, o):
@@ -113,9 +115,13 @@ def _chain_chunk(outer: int, focc: FusedOcc, text_rows, gt_rows, lo0_row,
     return r, gap, samp
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _anchor_chunk(outer: int, focc: FusedOcc, text_rows, gt_rows, lo0_row,
-                  c_first, consts, starts_al, afrom, ato, r0, k0):
+_chain_chunk = partial(jax.jit, static_argnums=(0,), donate_argnums=(10,))(
+    _chain_chunk_impl)
+
+
+def _anchor_chunk_impl(outer: int, focc: FusedOcc, text_rows, gt_rows,
+                       lo0_row, c_first, consts, starts_al, afrom, ato, r0,
+                       k0):
     """Same stepping without recording — used for both contraction bounds."""
 
     def outer_body(r, o):
@@ -132,6 +138,9 @@ def _anchor_chunk(outer: int, focc: FusedOcc, text_rows, gt_rows, lo0_row,
 
     r, _ = lax.scan(outer_body, r0, jnp.arange(outer, dtype=jnp.int32))
     return r
+
+
+_anchor_chunk = partial(jax.jit, static_argnums=(0,))(_anchor_chunk_impl)
 
 
 def _pad_pow2(x: int, lo: int = 1024) -> int:

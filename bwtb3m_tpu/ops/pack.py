@@ -13,25 +13,36 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def unpack_bits_device(data: jnp.ndarray, bits: int, n: int) -> jnp.ndarray:
-    """uint8 packed bytes -> int32 symbols [n] (LSB-first layout)."""
+    """uint8 packed bytes -> int32 symbols [n] (LSB-first layout).
+
+    All intermediates are 1-D: a [nbytes, 8/bits]-shaped staging array
+    gets its minor dim padded to 128 lanes by TPU tiling — a 64x memory
+    blow-up that OOMed the 400M text upload."""
     if n == 0:
         return jnp.zeros(0, jnp.int32)
     if 8 % bits == 0:
         # aligned fast path: each byte holds 8//bits whole symbols
         per = 8 // bits
-        shifts = (jnp.arange(per, dtype=jnp.uint8) * bits)[None, :]
-        syms = (data[:, None] >> shifts) & jnp.uint8((1 << bits) - 1)
-        return syms.reshape(-1)[:n].astype(jnp.int32)
-    # general path: explode to bits, regroup
-    bit_shifts = jnp.arange(8, dtype=jnp.uint8)[None, :]
-    bitarr = ((data[:, None] >> bit_shifts) & jnp.uint8(1)).reshape(-1)
-    bitarr = bitarr[: n * bits].reshape(n, bits).astype(jnp.int32)
-    weights = (jnp.int32(1) << jnp.arange(bits, dtype=jnp.int32))[None, :]
-    return jnp.sum(bitarr * weights, axis=1)
+        total = data.shape[0] * per
+        arr = jnp.repeat(data, per, total_repeat_length=total)
+        pos = lax.broadcasted_iota(jnp.uint8, (total,), 0)
+        sh = (pos % jnp.uint8(per)) * jnp.uint8(bits)
+        syms = (arr >> sh) & jnp.uint8((1 << bits) - 1)
+        return syms[:n].astype(jnp.int32)
+    # general path: explode to bits (1-D), regroup by strided slices
+    nbits = data.shape[0] * 8
+    arr = jnp.repeat(data, 8, total_repeat_length=nbits)
+    pos = lax.broadcasted_iota(jnp.uint8, (nbits,), 0)
+    bitarr = ((arr >> (pos % jnp.uint8(8))) & jnp.uint8(1)).astype(jnp.int32)
+    out = jnp.zeros(n, jnp.int32)
+    for b in range(bits):
+        out = out | (bitarr[b::bits][:n] << b)
+    return out
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -41,17 +52,24 @@ def pack_bits_device(symbols: jnp.ndarray, bits: int) -> jnp.ndarray:
     pad first."""
     n = symbols.shape[0]
     assert (n * bits) % 8 == 0, "pad to byte alignment before packing"
+    mask = jnp.uint8((1 << bits) - 1)
     if 8 % bits == 0:
+        # 1-D strided combine (2-D staging would tile-pad the minor dim)
         per = 8 // bits
-        s = symbols.astype(jnp.uint8).reshape(-1, per)
-        shifts = (jnp.arange(per, dtype=jnp.uint8) * bits)[None, :]
-        return jnp.sum(
-            (s & jnp.uint8((1 << bits) - 1)).astype(jnp.uint32) << shifts,
-            axis=1).astype(jnp.uint8)
-    shifts = jnp.arange(bits, dtype=jnp.int32)[None, :]
-    bitarr = ((symbols[:, None] >> shifts) & 1).astype(jnp.uint8).reshape(-1, 8)
-    w = (jnp.uint32(1) << jnp.arange(8, dtype=jnp.uint32))[None, :]
-    return jnp.sum(bitarr.astype(jnp.uint32) * w, axis=1).astype(jnp.uint8)
+        s = symbols.astype(jnp.uint8) & mask
+        out = jnp.zeros(n // per, jnp.uint8)
+        for k in range(per):
+            out = out | (s[k::per] << jnp.uint8(k * bits))
+        return out
+    s = symbols.astype(jnp.uint8) & mask
+    nbits = n * bits
+    bitarr = jnp.zeros(nbits, jnp.uint8)
+    for b in range(bits):
+        bitarr = bitarr.at[b::bits].set((s >> b) & jnp.uint8(1))
+    out = jnp.zeros(nbits // 8, jnp.uint8)
+    for k in range(8):
+        out = out | (bitarr[k::8] << jnp.uint8(k))
+    return out
 
 
 def load_compact_to_device(path: str):

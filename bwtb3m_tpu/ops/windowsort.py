@@ -105,9 +105,28 @@ def block_suffix_order_window(win_dev, block_len: int, sigma: int
     """block_suffix_order for a window already resident on device (the
     scaled engine slices it from the device text rows — no host gather or
     upload per block)."""
-    lo_sa = np.asarray(_window_order(win_dev, int(sigma), False))
-    hi_sa = np.asarray(_window_order(win_dev, int(sigma), True))
-    lo_block = lo_sa[lo_sa < block_len]
-    hi_block = hi_sa[hi_sa < block_len]
-    resolved = bool(np.array_equal(lo_block, hi_block))
-    return (lo_block.astype(np.int64), hi_block.astype(np.int64), resolved)
+    lo_b, hi_b, resolved = block_suffix_order_device(
+        win_dev, block_len, sigma)
+    return (np.asarray(lo_b, np.int64), np.asarray(hi_b, np.int64),
+            bool(resolved))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _block_filter(sa_full: jnp.ndarray, block_len: int, W: int):
+    """Keep only the block's own positions, in order (device)."""
+    idx = jnp.flatnonzero(sa_full < block_len, size=block_len, fill_value=0)
+    return jnp.take(sa_full, idx)
+
+
+def block_suffix_order_device(win_dev, block_len: int, sigma: int):
+    """Device-resident variant: returns (lo order, hi order, resolved) with
+    the orders as int32 device arrays and only a scalar fetched — the
+    scaled engine derives BWT/samples on device, so the two [W] suffix
+    orders never cross the relay."""
+    W = int(win_dev.shape[0])
+    lo_sa = _window_order(win_dev, int(sigma), False)
+    hi_sa = _window_order(win_dev, int(sigma), True)
+    lo_b = _block_filter(lo_sa, int(block_len), W)
+    hi_b = _block_filter(hi_sa, int(block_len), W)
+    resolved = bool(int(jnp.sum((lo_b != hi_b).astype(jnp.int32))) == 0)
+    return lo_b, hi_b, resolved

@@ -1,0 +1,99 @@
+"""Mesh-sharded gap chains — the multi-chip merge engine path.
+
+The reference parallelizes one pair merge by splitting the left block's
+suffix ranges over threads (SURVEY.md section 2.3.3, arXiv:1604.06687
+parallel section). The TPU mapping shards the CHAIN LANES over the mesh:
+every device runs the same per-step program (ops/gapdev.py
+``_chain_chunk_impl``) on its slice of the lanes against a replicated
+rank structure, accumulating a per-device partial gap histogram; the
+histograms are summed at the end (one reduction, not one per step).
+
+Replicating the occ rows per device is the right trade below ~2^31-symbol
+right regions (they fit one device comfortably); sharding the occ rows by
+rank range — for regions beyond one device's HBM — would route each
+chain's rank query through the owner shard and is the documented next
+step (ROADMAP).
+
+Pair merges at the same tree level are independent, so a pod runs one
+pair per device-group with NO collectives at all; the lane-sharded path
+here is the intra-pair speedup and the shape the dryrun validates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.gapdev import _chain_chunk_impl
+from .mesh import AXIS
+
+
+def sharded_chain_chunk_fn(mesh: Mesh, outer: int, axis: str = AXIS):
+    """Build the shard_mapped chunk program: lanes sharded, occ/text/gt
+    replicated, per-shard partial gap histograms returned stacked."""
+
+    def body(focc, text_rows, gt_rows, lo0_row, c_first, consts,
+             starts_al, afrom, ato, gap, r0, k0, samp_idx):
+        r, g, samp = _chain_chunk_impl(
+            outer, focc, text_rows, gt_rows, lo0_row, c_first, consts,
+            starts_al, afrom, ato, gap[0], r0, k0, samp_idx)
+        return r, g[None, :], samp
+
+    rep = P()
+    lane = P(axis)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep,
+                  lane, lane, lane, P(axis, None),
+                  lane, rep, P(None, axis)),
+        out_specs=(lane, P(axis, None), P(None, axis)),
+    ))
+
+
+class ShardedGapRunner:
+    """Drop-in chain executor for one pair merge with lanes sharded over a
+    mesh. Interface mirrors the single-device DeviceGapRunner.run_chains
+    essentials; used by the multi-chip dryrun and the pod path."""
+
+    def __init__(self, mesh: Mesh, runner, axis: str = AXIS):
+        self.mesh = mesh
+        self.r = runner  # a DeviceGapRunner carrying occ/text/gt state
+        self.axis = axis
+        self._fns = {}
+
+    def run_chains(self, starts: np.ndarray, seeds: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+        """Returns the summed gap histogram (int64 [gap_size+1])."""
+        from ..ops.gapdev import _pad_pow2
+        r = self.r
+        D = self.mesh.devices.size
+        T = r.lane_bucket
+        assert T % D == 0
+        r._ensure_gt(int(starts.max()) + 1)
+        sa, af, at, aligned = r._align(starts, lens)
+        gpad = _pad_pow2(r.gap_size + 2)
+        gap = jnp.zeros((D, gpad), jnp.int32)
+        rr = np.zeros(T, np.int32)
+        rr[: len(starts)] = seeds
+        rj = jnp.asarray(rr)
+        saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
+        max_steps = int(at.max())
+        done = 0
+        while done < max_steps:
+            outer = min(8, (max_steps - done + 255) // 256)
+            if outer not in self._fns:
+                self._fns[outer] = sharded_chain_chunk_fn(
+                    self.mesh, outer, self.axis)
+            idxc = jnp.zeros((1, T), jnp.int32)
+            rj, gap, _samp = self._fns[outer](
+                r.focc, r.text_rows, r.gt_rows,
+                jnp.int32(r.lo0 // 256), r.c_first, r.consts,
+                saj, afj, atj, gap, rj, jnp.int32(done), idxc)
+            done += outer * 256
+        total = np.asarray(jnp.sum(gap, axis=0), dtype=np.int64)
+        return total[: r.gap_size + 1]

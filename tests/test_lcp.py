@@ -66,3 +66,20 @@ def test_lcpbit_selftest_harness():
     testn([ord(c) for c in "abbab#"])
     testnk(4, 2)
     testrandomn(512, 8, seed=3)
+
+
+def test_plcp_scaled_matches_oracle():
+    # O(n)-memory batched-Kasai path vs the Phi/Kasai host oracle
+    import numpy as np
+    from bwtb3m_tpu.lcp.plcp import compute_plcp_scaled, kasai_plcp
+    rng = np.random.default_rng(13)
+    for n, mk in ((5000, "r"), (3000, "p")):
+        if mk == "r":
+            text = rng.integers(0, 4, n).astype(np.int32)
+        else:
+            seg = rng.integers(0, 4, 61)
+            text = np.tile(seg, n // 61 + 1)[:n].astype(np.int32)
+            text[rng.integers(0, n, 30)] = rng.integers(0, 4, 30)
+        plcp, sa = compute_plcp_scaled(text, 4, lanes=128)
+        ref = kasai_plcp(text, sa)
+        assert np.array_equal(plcp, ref), n

@@ -83,3 +83,38 @@ def test_scaled_via_compute_bwt_engine_merge(tmp_path):
     _r, sa_vals = formats.read_sampled_array(sa_path)
     sa, isa, _ = suffix_array(text, int(text.max()) + 1)
     assert np.array_equal(sa_vals, np.asarray(sa)[::32])
+
+
+def test_scaled_adversarial_periodic(tmp_path):
+    # pure periodic blocks (period 16, no in-block mutation): every block
+    # sort resolves via the rotation-comparator tie-break without growing
+    # the window (the round-1 memory-bound escape)
+    rng = np.random.default_rng(77)
+    seg = rng.integers(0, 4, 16)
+    n = 8192
+    text = np.tile(seg, n // 16).astype(np.int32)
+    # two mutations far apart so rotations are distinct but in-block ties
+    # span whole blocks
+    text[10] = (text[10] + 1) % 4
+    text[7000] = (text[7000] + 2) % 4
+    opts = BwtOptions(input_path="x", output_filename=str(tmp_path / "p.bwt"),
+                      max_block_symbols=2048, large_lcp_thres=1024)
+    bwt_s, spos, srank, _ = blockwise_bwt_scaled(
+        text, 4, opts, VerboseLog(0), sample_rate=512, lane_bucket=32)
+    sa, isa, bwt_d = suffix_array(text, 4)
+    assert np.array_equal(bwt_s.astype(np.int64), np.asarray(bwt_d, np.int64))
+    assert np.array_equal(srank, np.asarray(isa)[spos])
+
+
+def test_scaled_fully_periodic_equal_rotations(tmp_path):
+    # period divides n exactly: genuinely equal rotations (position order)
+    seg = np.array([1, 0, 2, 3, 2, 1, 0, 3], np.int32)
+    n = 4096
+    text = np.tile(seg, n // 8).astype(np.int32)
+    opts = BwtOptions(input_path="x", output_filename=str(tmp_path / "q.bwt"),
+                      max_block_symbols=1024, large_lcp_thres=512)
+    bwt_s, spos, srank, _ = blockwise_bwt_scaled(
+        text, 4, opts, VerboseLog(0), sample_rate=512, lane_bucket=16)
+    sa, isa, bwt_d = suffix_array(text, 4)
+    assert np.array_equal(bwt_s.astype(np.int64), np.asarray(bwt_d, np.int64))
+    assert np.array_equal(srank, np.asarray(isa)[spos])
