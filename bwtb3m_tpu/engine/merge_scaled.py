@@ -68,10 +68,11 @@ class _Ctx:
 
 
 def _plan_blocks_fixed(n: int, max_block: int) -> List[Tuple[int, int]]:
-    """Fixed-size blocks (one compiled sort shape) + a short tail."""
-    nb = max(1, -(-n // max_block))
-    size = -(-n // nb)
-    size = ((size + 255) // 256) * 256  # align so shapes bucket cleanly
+    """Fixed-size blocks + a short tail. The block size depends only on
+    ``max_block`` (not on n), so different text lengths built with the
+    same mem target reuse the same compiled sort shapes — each new shape
+    is a multi-minute remote compile at scale."""
+    size = max(256, (min(max_block, n) // 256) * 256)
     out = []
     s = 0
     while s < n:
