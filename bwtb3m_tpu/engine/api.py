@@ -68,9 +68,10 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             # reference scale (>2^31 symbols, bounded host memory)
             from .merge_scaled import blockwise_bwt_scaled
             with log.span("device suffix sort (scaled blockwise merge)"):
-                bwt_u8, spos, srank, _hist = blockwise_bwt_scaled(
+                bwt, spos, srank, _hist = blockwise_bwt_scaled(
                     symbols, sigma, options, log, sample_rate=prate)
-            bwt = bwt_u8.astype(np.int32)
+            # bwt stays uint8 — at 3.2G an int32 copy is 12.8 GB of host
+            # RAM for nothing (the codecs and bincount take uint8)
         else:
             from .merge import blockwise_bwt  # legacy full-SA path
             with log.span("device suffix sort (blockwise merge)"):

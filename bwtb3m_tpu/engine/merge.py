@@ -1,6 +1,12 @@
-"""Blockwise BWT construction with gap-array merging — the memory-bounded
-engine (equivalent of the reference's balanced block merge,
-``BwtMergeSort`` phases 2-3, SURVEY.md section 3.1).
+"""Blockwise BWT construction with gap-array merging — the LEGACY
+full-SA variant (round 1). The production scale path is
+``engine/merge_scaled.py``: regions carry only BWT + samples, chains run
+fully on device, and host memory stays O(n) bytes; this module keeps the
+simpler full-SA/ISA construction for small texts, wide alphabets
+(sigma > 16) and as a second implementation for cross-engine fuzzing.
+
+Equivalent of the reference's balanced block merge (``BwtMergeSort``
+phases 2-3, SURVEY.md section 3.1).
 
 The text lives in host RAM (the analog of the reference's disk); device
 HBM holds only one block's sort window or one pair's rank structure at a

@@ -1,8 +1,9 @@
 """Randomized cross-engine consistency fuzz.
 
-All three construction engines (device doubling, tie-compacted LS, block
-gap-merge with random geometry) against the brute-force rotation-sort
-oracle, over random / run-heavy / periodic / fibonacci-like texts.
+All four construction engines (device doubling, tie-compacted LS, legacy
+block gap-merge, scaled blockwise merge with random geometry) against the
+brute-force rotation-sort oracle, over random / run-heavy / periodic /
+fibonacci-like texts.
 
 Usage: python scripts/fuzz_engines.py [seconds] [seed]
 """
@@ -27,6 +28,7 @@ def main():
     from oracle import naive_bwt, naive_circular_sa
 
     from bwtb3m_tpu.engine.merge import blockwise_bwt
+    from bwtb3m_tpu.engine.merge_scaled import blockwise_bwt_scaled
     from bwtb3m_tpu.engine.options import BwtOptions
     from bwtb3m_tpu.ops.doubling import suffix_array, suffix_array_ls
     from bwtb3m_tpu.util.log import VerboseLog
@@ -78,7 +80,18 @@ def main():
             anchor_lookback=int(rng.choice([4, 16, 64])),
             merge_mode=str(rng.choice(["tree", "fold"])))
         ok_m = np.array_equal(sam, ref_sa) and np.array_equal(bwtm, ref_bwt)
-        if not (ok_a and ok_ls and ok_m):
+        ok_s = True
+        if sigma_eff <= 16:
+            rate = int(rng.choice([4, 32, 128]))
+            bwts, spos, srank, _h = blockwise_bwt_scaled(
+                text, sigma_eff, opts, VerboseLog(0), sample_rate=rate,
+                lane_bucket=int(rng.choice([4, 16, 64])))
+            isa_ref = np.empty(n, np.int64)
+            isa_ref[ref_sa] = np.arange(n)
+            ok_s = (np.array_equal(bwts.astype(np.int64),
+                                   ref_bwt.astype(np.int64))
+                    and np.array_equal(srank, isa_ref[spos]))
+        if not (ok_a and ok_ls and ok_m and ok_s):
             fails += 1
             path = os.path.join(work, "fuzz_fail_%d.npy" % iters)
             np.save(path, text)
