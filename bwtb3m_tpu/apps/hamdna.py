@@ -8,9 +8,9 @@ handled via strand search.
 
 This rebuild searches the FM index of the pacterm reference with a
 branch-and-bound backward search over the 4-base alphabet (mismatch budget),
-locates hits through the sampled SA and emits SAM text (the bambam/ BAM
-writer of libmaus2 is out of scope; SAM is the documented equivalent
-surface).
+locates hits through the sampled SA and emits SAM text or, via ``obam=``,
+BAM with NM/MD tags through the self-contained BGZF+BAM writer in
+``io/bam.py`` (the reference's bambam::BamWriter role).
 """
 
 from __future__ import annotations

@@ -103,6 +103,7 @@ def _region_derive_fn():
     import jax
     import jax.numpy as jnp
     from jax import lax
+    from ..ops.idx64 import take_u32
     from ..ops.pack import pack_bits_device
 
     @functools.partial(jax.jit, static_argnums=(4,))
@@ -110,12 +111,14 @@ def _region_derive_fn():
         """Device-side region pieces from a block's local rotation order:
         (4-bit packed BWT bytes, sample local ranks [nsamp_max], r_start).
         Only ~0.5 byte/symbol crosses the relay; s and n are traced so all
-        equal-size blocks share one compile."""
+        equal-size blocks share one compile.  Positions are uint32 with an
+        explicit s+sa == 0 test before the decrement, and the text gather
+        is a raw-u32 gather (ops/idx64.py) — a plain int32 take silently
+        corrupts every block past position 2^31 (round-2 ADVICE high)."""
         block_len = sa_local.shape[0]
-        idx = s + sa_local.astype(jnp.uint32) + jnp.uint32(0) - jnp.uint32(1)
-        idx = jnp.where(idx >= jnp.uint32(1) << 31, n - 1, idx)  # s+sa == 0
-        idx = jnp.where(idx >= n, idx - n, idx)
-        bwt = jnp.take(text_flat, idx.astype(jnp.int32))
+        pos = s + sa_local.astype(jnp.uint32)       # in [s, e) subset [0, n)
+        idx = jnp.where(pos == jnp.uint32(0), n, pos) - jnp.uint32(1)
+        bwt = take_u32(text_flat, idx)
         pad = (-block_len) % 2
         bwt_p = jnp.concatenate(
             [bwt, jnp.zeros((pad,), bwt.dtype)]) if pad else bwt

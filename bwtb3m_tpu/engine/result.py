@@ -71,7 +71,8 @@ class BwtResult:
         symmap = None
         if dense:
             present = np.unique(bwt)
-            if len(present) < sigma or (len(present) and present[-1] >= len(present)):
+            if len(present) and (len(present) < sigma
+                                 or present[-1] >= len(present)):
                 remap = np.zeros(max(sigma, int(present[-1]) + 1), dtype=np.int32)
                 remap[present] = np.arange(len(present), dtype=np.int32)
                 bwt = remap[bwt]
@@ -115,7 +116,8 @@ class BwtResult:
         symmap = None
         if dense:
             present = np.unique(bwt)
-            if len(present) < sigma or (len(present) and present[-1] >= len(present)):
+            if len(present) and (len(present) < sigma
+                                 or present[-1] >= len(present)):
                 remap = np.zeros(max(sigma, int(present[-1]) + 1), dtype=np.int32)
                 remap[present] = np.arange(len(present), dtype=np.int32)
                 bwt = remap[bwt]

@@ -62,7 +62,11 @@ def _harvest_chunk(outer: int, focc, r, p0, lens, sa_out, n: int,
                         ys_flat // jnp.uint32(sarate), jnp.uint32(n_sa))
     kmat = lax.broadcasted_iota(jnp.int32, ys_flat.shape, 0) + k0
     pmat = p0[None, :] - kmat.astype(jnp.uint32)  # position at each step
-    sa_out = sa_out.at[idx.astype(jnp.int32)].set(pmat, mode="drop")
+    # raw-u32 scatter: with sarate == 1 and n > 2^31 the indices exceed
+    # int32 and an .at[].set(mode="drop") would silently drop every
+    # sampled rank past 2^31 (round-2 ADVICE)
+    from ..ops.idx64 import scatter_set_u32
+    sa_out = scatter_set_u32(sa_out, idx, pmat)
     isa_vals = jnp.take_along_axis(ys_flat, isa_idx, axis=0)
     return r, sa_out, isa_vals
 

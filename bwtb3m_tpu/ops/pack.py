@@ -52,6 +52,8 @@ def pack_bits_device(symbols: jnp.ndarray, bits: int) -> jnp.ndarray:
     pad first."""
     n = symbols.shape[0]
     assert (n * bits) % 8 == 0, "pad to byte alignment before packing"
+    assert bits <= 8, "pack_bits_device extracts bits from a uint8 copy; " \
+        "symbols wider than 8 bits would truncate silently"
     mask = jnp.uint8((1 << bits) - 1)
     if 8 % bits == 0:
         # 1-D strided combine (2-D staging would tile-pad the minor dim)
