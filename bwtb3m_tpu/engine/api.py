@@ -62,16 +62,34 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             isa[sa] = np.arange(n, dtype=np.int64)
     elif (options.engine in ("merge", "merge-legacy")
           or (options.engine == "auto" and n > options.max_block_symbols)):
-        if options.engine != "merge-legacy" and sigma <= 16:
+        # rank-compact wide alphabets to <= 256 dense symbols (utf-8
+        # codepoints; the reference's alphabet-compaction pass,
+        # /root/reference/src/lcpbit.cpp:677-806) — a strictly monotonic
+        # symbol remap preserves rotation order, so the BWT maps back
+        # through the same table
+        symmap = None
+        if options.engine != "merge-legacy" and sigma > 256:
+            uniq = np.unique(np.asarray(symbols))
+            if len(uniq) <= 256:
+                symmap = uniq
+                symbols = np.searchsorted(uniq, np.asarray(symbols)).astype(
+                    np.uint8)
+                log.v("alphabet rank-compacted: %d distinct symbols"
+                      % len(uniq))
+        if options.engine != "merge-legacy" and (sigma <= 256
+                                                 or symmap is not None):
             # scaled engine: regions carry only BWT + samples (no full
             # SA/ISA), device-resident chains — the path that reaches
             # reference scale (>2^31 symbols, bounded host memory)
             from .merge_scaled import blockwise_bwt_scaled
+            eff_sigma = sigma if symmap is None else len(symmap)
             with log.span("device suffix sort (scaled blockwise merge)"):
                 bwt, spos, srank, _hist = blockwise_bwt_scaled(
-                    symbols, sigma, options, log, sample_rate=prate)
+                    symbols, eff_sigma, options, log, sample_rate=prate)
             # bwt stays uint8 — at 3.2G an int32 copy is 12.8 GB of host
             # RAM for nothing (the codecs and bincount take uint8)
+            if symmap is not None:
+                bwt = symmap[bwt]   # back to original symbols
         else:
             from .merge import blockwise_bwt  # legacy full-SA path
             with log.span("device suffix sort (blockwise merge)"):

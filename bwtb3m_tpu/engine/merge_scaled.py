@@ -54,7 +54,7 @@ class _RegionS:
 class _Ctx:
     def __init__(self, text: np.ndarray, sigma: int, rate: int,
                  options: BwtOptions, log: VerboseLog,
-                 lane_bucket: int, nthreads: int = 4):
+                 lane_bucket: int, nthreads: int = 4, mesh=None):
         self.text = np.ascontiguousarray(text, dtype=np.uint8)
         self.n = len(text)
         self.sigma = sigma
@@ -63,8 +63,10 @@ class _Ctx:
         self.log = log
         self.lane_bucket = lane_bucket
         self.nthreads = nthreads
+        self.mesh = mesh        # jax Mesh: shard chain lanes per merge
         self.dbl = np.concatenate([self.text, self.text])
-        self.text_rows = build_text_rows(self.text)
+        self.text_rows = build_text_rows(self.text, sigma)
+        self.bits = 4 if sigma <= 16 else 8
 
 
 def _plan_blocks_fixed(n: int, max_block: int) -> List[Tuple[int, int]]:
@@ -81,48 +83,77 @@ def _plan_blocks_fixed(n: int, max_block: int) -> List[Tuple[int, int]]:
     return out
 
 
+def _rows_slice_symbols(ctx: _Ctx, a: int, b: int):
+    """text[a:b) as int32 device array, decoded from the 2-D device rows
+    (0 <= a < b <= n). Row-granular slicing first — the rows must never
+    be viewed 1-D (XLA:TPU indexes at most 2^31-1 per dimension); the
+    local slice is far below 2^31 and may flatten freely."""
+    import jax.numpy as jnp
+    from jax import lax
+    r0, r1 = a >> 8, (b + 255) >> 8
+    sl = ctx.text_rows[r0:r1]
+    if ctx.bits == 4:
+        bts = (sl.reshape(-1).astype(jnp.int32)) & 0xFF
+        total = bts.shape[0] * 2
+        arr = jnp.repeat(bts, 2, total_repeat_length=total)
+        pos = lax.broadcasted_iota(jnp.int32, (total,), 0)
+        syms = (arr >> ((pos & 1) * 4)) & 0xF
+    else:
+        syms = sl.reshape(-1).astype(jnp.int32) & 0xFF
+    off = a - (r0 << 8)
+    return syms[off : off + (b - a)]
+
+
 def _device_window(ctx: _Ctx, s: int, W: int) -> np.ndarray:
     """Circular window text[s : s+W] as int32, sliced from the device
     text rows (no host gather/upload per block)."""
     import jax.numpy as jnp
-    flat = ctx.text_rows.reshape(-1)
     n = ctx.n
     s = s % n
     if s + W <= n:
-        return jnp.asarray(flat[s : s + W], dtype=jnp.int32)
-    parts = [flat[s:n]]
+        return _rows_slice_symbols(ctx, s, s + W)
+    parts = [_rows_slice_symbols(ctx, s, n)]
     need = W - (n - s)
     while need > 0:
         take = min(need, n)
-        parts.append(flat[:take])
+        parts.append(_rows_slice_symbols(ctx, 0, take))
         need -= take
-    return jnp.concatenate(parts).astype(jnp.int32)
+    return jnp.concatenate(parts)
 
 
 def _region_derive_fn():
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from ..ops.idx64 import take_u32
+    from ..ops.idx64 import take2d_u32
     from ..ops.pack import pack_bits_device
 
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def fn(text_flat, sa_local, s, n, rate: int):
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def fn(text_rows, sa_local, s, n, rate: int, bits: int):
         """Device-side region pieces from a block's local rotation order:
-        (4-bit packed BWT bytes, sample local ranks [nsamp_max], r_start).
-        Only ~0.5 byte/symbol crosses the relay; s and n are traced so all
-        equal-size blocks share one compile.  Positions are uint32 with an
-        explicit s+sa == 0 test before the decrement, and the text gather
-        is a raw-u32 gather (ops/idx64.py) — a plain int32 take silently
-        corrupts every block past position 2^31 (round-2 ADVICE high)."""
+        (packed BWT bytes, sample local ranks [nsamp_max], r_start).
+        Only ~0.5-1 byte/symbol crosses the relay; s and n are traced so
+        all equal-size blocks share one compile.  Positions are uint32
+        with an explicit s+sa == 0 test before the decrement, and the
+        text gather is a 2-index (row, col) raw-u32 gather from the 2-D
+        rows — a flat int32 take silently corrupts every block past
+        position 2^31 (round-2 ADVICE high; XLA:TPU buffers index at most
+        2^31-1 per dimension)."""
         block_len = sa_local.shape[0]
         pos = s + sa_local.astype(jnp.uint32)       # in [s, e) subset [0, n)
         idx = jnp.where(pos == jnp.uint32(0), n, pos) - jnp.uint32(1)
-        bwt = take_u32(text_flat, idx)
-        pad = (-block_len) % 2
+        row = idx >> jnp.uint32(8)
+        col = idx & jnp.uint32(255)
+        if bits == 4:
+            byte = take2d_u32(text_rows, row, col >> jnp.uint32(1)).astype(
+                jnp.int32) & 0xFF
+            bwt = (byte >> ((col & jnp.uint32(1)) * 4).astype(jnp.int32)) & 0xF
+        else:
+            bwt = take2d_u32(text_rows, row, col).astype(jnp.int32) & 0xFF
+        pad = (-block_len) % (8 // bits)
         bwt_p = jnp.concatenate(
             [bwt, jnp.zeros((pad,), bwt.dtype)]) if pad else bwt
-        packed = pack_bits_device(bwt_p.astype(jnp.int32), 4)
+        packed = pack_bits_device(bwt_p & 0xFF, bits)
         inv = jnp.zeros(block_len, jnp.int32).at[sa_local].set(
             lax.broadcasted_iota(jnp.int32, (block_len,), 0))
         first = (rate - (s % jnp.uint32(rate))) % jnp.uint32(rate)
@@ -287,13 +318,16 @@ def _sort_block_scaled(ctx: _Ctx, s: int, e: int) -> _RegionS:
         _region_derive = _region_derive_fn()
     import jax.numpy as jnp
     packed, samp, r0 = _region_derive(
-        ctx.text_rows.reshape(-1), sa_local, jnp.uint32(s), jnp.uint32(n),
-        int(ctx.rate))
+        ctx.text_rows, sa_local, jnp.uint32(s), jnp.uint32(n),
+        int(ctx.rate), int(ctx.bits))
     pk = np.asarray(packed)
-    bwt = np.empty(len(pk) * 2, np.uint8)
-    bwt[0::2] = pk & 0x0F
-    bwt[1::2] = pk >> 4
-    bwt = bwt[:block_len]
+    if ctx.bits == 4:
+        bwt = np.empty(len(pk) * 2, np.uint8)
+        bwt[0::2] = pk & 0x0F
+        bwt[1::2] = pk >> 4
+        bwt = bwt[:block_len]
+    else:
+        bwt = pk[:block_len]
     first = (-s) % ctx.rate
     spos = np.arange(s + first, e, ctx.rate, dtype=np.int64)
     sranks = np.asarray(samp, np.int64)[: len(spos)]
@@ -352,7 +386,15 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
                 log.v("anchor lookback extended to %d for %d lanes"
                       % (lb, len(todo)))
 
-    runner.run_chains(starts, seeds, lens)
+    if ctx.mesh is not None:
+        # multi-chip intra-pair path: chain lanes sharded over the mesh
+        # (rank rows replicated, per-device partial histograms, one
+        # reduction at the end); runner state mirrors the single-device
+        # run so everything downstream is unchanged
+        from ..parallel.merge import ShardedGapRunner
+        ShardedGapRunner(ctx.mesh, runner).run_chains(starts, seeds, lens)
+    else:
+        runner.run_chains(starts, seeds, lens)
     total = runner.gap_checksum()
     assert total == block_len, (total, block_len)
     # chain self-check: every lane's final R(bounds[j]) must equal the
@@ -379,7 +421,8 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
             "chain sample harvest mismatch: %d vs %d positions"
             % (len(hpos), len(left.samp_pos)))
     new_left_rank = left.samp_rank + hval
-    new_right_rank = right.samp_rank + runner.cnt_le_at(right.samp_rank)
+    new_right_rank = right.samp_rank + runner.cnt_le_at_host(
+        right.samp_rank, gap8, ov_idx, ov_val)
     pos = np.concatenate([left.samp_pos, right.samp_pos])
     rank = np.concatenate([new_left_rank, new_right_rank])
     order = np.argsort(pos)
@@ -392,7 +435,7 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
 def blockwise_bwt_scaled(
     symbols: np.ndarray, sigma: int, options: BwtOptions,
     log: Optional[VerboseLog] = None, sample_rate: int = 1024,
-    lane_bucket: int = 1 << 16,
+    lane_bucket: int = 1 << 16, mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Returns (bwt uint8, preisa positions, preisa ranks, symbol hist) —
     the bwtonly output set (reference: .bwt/.hist/.preisa, README
@@ -401,16 +444,17 @@ def blockwise_bwt_scaled(
     log = log or VerboseLog(1)
     text = np.asarray(symbols)
     n = len(text)
-    if sigma > 16:
-        raise ValueError("scaled merge engine supports sigma <= 16 "
-                         "(4-bit packed device text); use the doubling "
-                         "engine for wide alphabets")
+    if sigma > 256:
+        raise ValueError("scaled merge engine supports sigma <= 256 "
+                         "(byte device text); rank-compact the alphabet "
+                         "first (engine/api.py does for utf-8)")
     if n >= (1 << 32):
         raise ValueError("texts >= 2^32 symbols need the two-word rank "
                          "path (ROADMAP)")
     from ..util.devices import device_scope
     with device_scope(n):
-        ctx = _Ctx(text, sigma, sample_rate, options, log, lane_bucket)
+        ctx = _Ctx(text, sigma, sample_rate, options, log, lane_bucket,
+                   mesh=mesh)
         blocks = _plan_blocks_fixed(n, options.max_block_symbols)
         log.v("scaled blockwise engine: %d blocks, rate=%d, lanes<=%d"
               % (len(blocks), sample_rate, lane_bucket))

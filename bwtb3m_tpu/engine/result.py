@@ -137,6 +137,9 @@ class BwtResult:
             pad = (-len(bwt)) % 2
             bwt_dev = unpack_bits_device(
                 jnp.asarray(packed), 4, len(bwt) + pad)[: len(bwt)]
+        elif sigma <= 256:
+            # byte transfer (4x less than int32); build_focc masks & 0xFF
+            bwt_dev = jnp.asarray(np.asarray(bwt, dtype=np.uint8))
         else:
             bwt_dev = jnp.asarray(bwt.astype(np.int32))
         return build_focc(bwt_dev, sigma), symmap

@@ -62,6 +62,9 @@ def _harvest_chunk(outer: int, focc, r, p0, lens, sa_out, n: int,
                         ys_flat // jnp.uint32(sarate), jnp.uint32(n_sa))
     kmat = lax.broadcasted_iota(jnp.int32, ys_flat.shape, 0) + k0
     pmat = p0[None, :] - kmat.astype(jnp.uint32)  # position at each step
+    # circular wrap: the lane seeded at position 0 walks n-1, n-2, ... —
+    # an unwrapped uint32 difference recorded positions off by 2^32 - n
+    pmat = jnp.where(pmat >= jnp.uint32(n), pmat + jnp.uint32(n), pmat)
     # raw-u32 scatter: with sarate == 1 and n > 2^31 the indices exceed
     # int32 and an .at[].set(mode="drop") would silently drop every
     # sampled rank past 2^31 (round-2 ADVICE)
@@ -123,6 +126,12 @@ def _harvest_fused(focc, ranks, positions, seg_len, n, sarate, isarate):
     rj, p0j, lj = jnp.asarray(r), jnp.asarray(p0), jnp.asarray(lens)
     max_steps = int(seg_len.max())
     phase = positions % isarate  # k with p0 - k ≡ 0 (mod isarate)
+    # lane 0 (seeded at position 0, _seed_segments sorts) wraps: its
+    # positions are n - k for k >= 1, so its sampling grid is k ≡ n
+    # (mod isarate); position 0 itself is the lane's own seed rank
+    phase = phase.copy()
+    phase[0] = n % isarate
+    isa_vals[0] = int(ranks[0])
     done = 0
     while done < max_steps:
         outer = min(8, (max_steps - done + 255) // 256)
@@ -138,7 +147,9 @@ def _harvest_fused(focc, ranks, positions, seg_len, n, sarate, isarate):
         iv = np.asarray(iv)[:, :T]
         kg = ks + done
         ok = (kg < seg_len[None, :]) & (ks < chunklen) & (kg >= done)
-        pv = (positions[None, :] - kg)[ok]
+        # circular wrap (the position-0 lane walks the text tail): without
+        # the mod, negative host positions index isa_vals from the end
+        pv = (positions[None, :] - kg)[ok] % n
         vv = iv[ok]
         good = vv != 0xFFFFFFFF
         isa_vals[pv[good] // isarate] = vv[good]
@@ -190,7 +201,7 @@ def compute_ssa(
     with device_scope(n):
         ranks, positions, _rate = result.load_preisa()
         ranks, positions, seg_len = _seed_segments(ranks, positions, n)
-        if result.sigma <= 16:
+        if result.sigma <= 256:
             focc, _symmap = result.load_focc(dense=True)
             sa_vals, isa_vals = _harvest_fused(
                 focc, ranks, positions, seg_len, n,
@@ -239,7 +250,7 @@ def compute_isa_from_preisa(
     with device_scope(n):
         ranks, positions, _rate = result.load_preisa()
         ranks, positions, seg_len = _seed_segments(ranks, positions, n)
-        if result.sigma <= 16:
+        if result.sigma <= 256:
             focc, _ = result.load_focc(dense=True)
             # sa rate n: only rank 0 harvested (ignored)
             _sa_vals, isa_vals = _harvest_fused(

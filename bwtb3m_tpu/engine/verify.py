@@ -46,7 +46,7 @@ def _check_bwt_impl(result: BwtResult, text: np.ndarray,
                     log: VerboseLog, n: int) -> bool:
     text = np.asarray(text)
     sigma_t = int(text.max()) + 1 if n else 1
-    if sigma_t <= 16 and result.sigma <= 16:
+    if sigma_t <= 256 and result.sigma <= 256:
         return _check_bwt_fused(result, text, log, n)
     return _check_bwt_legacy(result, text, log, n)
 
@@ -67,6 +67,8 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
         text = remap[np.asarray(text, dtype=np.int64)]
         if (text < 0).any():
             return False
+    if int(focc.sigma) > 256:
+        return _check_bwt_legacy(result, text, log, n)
     ranks, positions, _rate = result.load_preisa()
     order = np.argsort(positions)
     positions = positions[order]
@@ -82,7 +84,8 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
     assert seg_len.sum() == n, (seg_len.sum(), n)
     _write_checkinfo(result, seg_len, positions, ranks)
 
-    text_rows = build_text_rows(text)
+    sigma_t = int(text.max()) + 1 if n else 1
+    text_rows = build_text_rows(text, sigma_t)
     # lane i emits text[p_i - 1 - k] at step k; the wrap lane (p=0) reads
     # n-1 downward, so every lane's read positions stay in [0, n)
     walk_start = (positions - 1) % n
@@ -147,9 +150,18 @@ def _verify_chunk(outer: int, focc, text_rows, starts_al, afrom, ato,
             active = jnp.logical_and(k >= afrom, k < ato)
             sym, r2 = lf_step_batch_f(focc, r)
             col = 255 - i
-            expect = lax.dynamic_slice_in_dim(trow, col, 1, axis=1)[:, 0]
+            if trow.shape[1] == 128:
+                # nibble-packed text rows (sigma <= 16)
+                byte = lax.dynamic_slice_in_dim(
+                    trow, col >> 1, 1, axis=1)[:, 0].astype(jnp.int32) & 0xFF
+                expect = (byte >> ((col & 1) * 4)) & 0xF
+            else:
+                # & 0xFF: int8 text rows must not sign-extend for symbols
+                # >= 128 (bytestream alphabets)
+                expect = lax.dynamic_slice_in_dim(
+                    trow, col, 1, axis=1)[:, 0].astype(jnp.int32) & 0xFF
             bad = bad + jnp.logical_and(
-                active, sym != expect.astype(jnp.int32)).astype(jnp.int32)
+                active, sym != expect).astype(jnp.int32)
             r = jnp.where(active, r2, r)
             return (r, bad)
 

@@ -17,8 +17,9 @@ from __future__ import annotations
 import numpy as np
 
 
-def read_pac(path: str) -> np.ndarray:
-    """Read a BWA .pac file; returns 2-bit codes as int32 (A=0 C=1 G=2 T=3)."""
+def read_pac(path: str, shift: int = 0) -> np.ndarray:
+    """Read a BWA .pac file; returns 2-bit codes + shift as uint8
+    (A=0 C=1 G=2 T=3 before the shift)."""
     raw = np.fromfile(path, dtype=np.uint8)
     if len(raw) < 2:
         raise ValueError("truncated .pac file: %s" % path)
@@ -27,10 +28,14 @@ def read_pac(path: str) -> np.ndarray:
         raise ValueError("invalid .pac trailer byte %d in %s" % (last, path))
     n = (len(raw) - 2) * 4 + last
     payload = raw[: (n + 3) // 4]
-    # unpack: byte -> 4 bases, high bits first
+    from .. import native
+    bases = native.unpack_pac(payload, n, shift)
+    if bases is not None:
+        return bases
+    # numpy fallback: byte -> 4 bases, high bits first
     shifts = np.array([6, 4, 2, 0], dtype=np.uint8)
     bases = ((payload[:, None] >> shifts[None, :]) & 3).reshape(-1)
-    return bases[:n].astype(np.int32)
+    return (bases[:n] + np.uint8(shift)).astype(np.uint8)
 
 
 def write_pac(path: str, codes: np.ndarray) -> None:

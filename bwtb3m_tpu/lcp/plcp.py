@@ -143,13 +143,20 @@ def _kasai_chunk(steps: int, text_rows, phi, isa, plcp, p, l, pend, n):
     symbol, or commit PLCP[p] = l and move to the next position."""
 
     def read(idx):
-        # text[idx] via row gather + mask select (idx arbitrary uint32)
+        # text[idx] via row gather + mask select (idx arbitrary uint32);
+        # rows are nibble-packed [_, 128] for sigma <= 16 or raw bytes
+        # [_, 256] (ops/gapdev.build_text_rows)
         rows = jnp.take(text_rows,
                         jnp.minimum((idx >> jnp.uint32(8)).astype(jnp.int32),
                                     text_rows.shape[0] - 1), axis=0)
-        col = lax.broadcasted_iota(jnp.uint32, rows.shape, 1)
-        return jnp.sum(jnp.where(col == (idx & jnp.uint32(255))[:, None],
-                                 rows.astype(jnp.int32), 0), axis=1)
+        col = idx & jnp.uint32(255)
+        pos = lax.broadcasted_iota(jnp.uint32, rows.shape, 1)
+        if text_rows.shape[1] == 128:
+            byte = jnp.sum(jnp.where(pos == (col >> 1)[:, None],
+                                     rows.astype(jnp.int32) & 0xFF, 0), axis=1)
+            return (byte >> ((col & 1) * 4).astype(jnp.int32)) & 0xF
+        return jnp.sum(jnp.where(pos == col[:, None],
+                                 rows.astype(jnp.int32) & 0xFF, 0), axis=1)
 
     def body(_i, carry):
         plcp, p, l, q = carry

@@ -78,6 +78,7 @@ def get_lib():
         pi8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         lib.c_cmp_rot.argtypes = [pu8, i64, i64, p64, i64, i64, pi8]
         lib.c_pack_bits_u8.argtypes = [pu8, i64, ctypes.c_int, pu8, i64]
+        lib.c_unpack_pac.argtypes = [pu8, i64, ctypes.c_int, i64, pu8]
         lib.c_gap_interleave.argtypes = [pu8, i64, p64, p64, i64,
                                          pu8, i64, pu8, i64, pu8]
         u32 = ctypes.c_uint32
@@ -187,6 +188,23 @@ def pack_bits_u8(syms: np.ndarray, bits: int) -> Optional[np.ndarray]:
     out = np.zeros(max(1, nbytes), dtype=np.uint8)
     lib.c_pack_bits_u8(syms, len(syms), bits, out, nbytes)
     return out[:nbytes]
+
+
+def unpack_pac(payload: np.ndarray, n: int, shift: int = 0,
+               nthreads: int = 4) -> Optional[np.ndarray]:
+    """BWA .pac payload bytes -> n uint8 base codes (+shift). Returns
+    None when the native library is unavailable (callers fall back to
+    the numpy broadcast in io/pac.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    nbytes = (n + 3) // 4
+    if nbytes > len(payload):
+        raise ValueError("pac payload shorter than base count")
+    out = np.empty(max(1, nbytes * 4), dtype=np.uint8)
+    lib.c_unpack_pac(payload, nbytes, shift, nthreads, out)
+    return out[:n]
 
 
 def gap_interleave(gap8: np.ndarray, ov_idx: np.ndarray, ov_val: np.ndarray,

@@ -371,6 +371,39 @@ void c_cmp_rot(const uint8_t* dbl, int64_t n, int64_t e, const int64_t* xs,
   for (auto& th : ths) th.join();
 }
 
+// BWA .pac 2-bit unpack (base i at bits (3-(i&3))*2 of byte i>>2, see
+// io/pac.py) with an optional +shift (pacterm maps bases to {1..4}).
+// LUT-per-byte + threads: the broadcasting numpy unpack runs at ~8 MB/s
+// on this host (measured — 50 s for 400 Mbp); this path is memory-bound.
+static void unpack_pac_range(const uint8_t* pac, int64_t b0, int64_t b1,
+                             const uint8_t* lut, uint8_t* out) {
+  for (int64_t i = b0; i < b1; ++i) {
+    std::memcpy(out + i * 4, lut + (int64_t)pac[i] * 4, 4);
+  }
+}
+
+void c_unpack_pac(const uint8_t* pac, int64_t nbytes, int shift,
+                  int64_t nthreads, uint8_t* out) {
+  uint8_t lut[256 * 4];
+  for (int v = 0; v < 256; ++v) {
+    for (int j = 0; j < 4; ++j) {
+      lut[v * 4 + j] = (uint8_t)(((v >> ((3 - j) * 2)) & 3) + shift);
+    }
+  }
+  if (nthreads <= 1 || nbytes < (1 << 20)) {
+    unpack_pac_range(pac, 0, nbytes, lut, out);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int64_t per = (nbytes + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t b0 = t * per, b1 = b0 + per < nbytes ? b0 + per : nbytes;
+    if (b0 >= b1) break;
+    ths.emplace_back(unpack_pac_range, pac, b0, b1, lut, out);
+  }
+  for (auto& th : ths) th.join();
+}
+
 // Pack n uint8 symbols at `bits` bits each, LSB-first (same layout as
 // c_pack_bits but without the int64 staging copy — used for shipping
 // gigasymbol BWT halves through the device relay).

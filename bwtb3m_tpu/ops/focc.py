@@ -86,13 +86,17 @@ def _build_focc_jax(bwt: jnp.ndarray, sigma: int, block: int,
     n = bwt.shape[0]
     nb = (n + block - 1) // block
     pad = nb * block - n
-    b8 = bwt.astype(jnp.int8)
+    # count on int32 with pad = -1 (outside 0..255, never counted); the
+    # stored int8 rows keep only the bit pattern — queries mask back with
+    # & 0xFF, so symbols up to 255 are handled (bytestream alphabets)
+    b32 = bwt.astype(jnp.int32) & 0xFF
     if pad:
-        b8 = jnp.concatenate([b8, jnp.full((pad,), -1, jnp.int8)])
-    blocks = b8.reshape(nb, block)
+        b32 = jnp.concatenate([b32, jnp.full((pad,), -1, jnp.int32)])
+    blocks32 = b32.reshape(nb, block)
+    blocks = blocks32.astype(jnp.int8)
     sym_ids = lax.broadcasted_iota(jnp.int32, (1, 1, sigma), 2)
     per_block = jnp.sum(
-        (blocks[:, :, None].astype(jnp.int32) == sym_ids).astype(jnp.uint32),
+        (blocks32[:, :, None] == sym_ids).astype(jnp.uint32),
         axis=1)                                   # [nb, sigma]
     cum = jnp.cumsum(per_block, axis=0, dtype=jnp.uint32)
     # nb+1 checkpoint rows: a query at i == n (e.g. the upper anchor bound
@@ -115,10 +119,23 @@ def _build_focc_jax(bwt: jnp.ndarray, sigma: int, block: int,
 
 
 def build_focc(bwt, sigma: int, block: int = BLOCK,
-               pad_shape: bool = True) -> FusedOcc:
-    """Build the fused structure on device from an int8/int32 BWT array."""
+               pad_shape: bool = True):
+    """Build the fused rank structure on device from an int8/int32 BWT
+    array. For sigma <= 8 this returns the bit-plane popcount variant
+    (ops/focc_bp.py — 3x smaller rows, ~10x less VPU work per query);
+    wider alphabets get the byte-row FusedOcc. Every query helper below
+    dispatches on the structure type, so consumers are agnostic.
+    Set BWTB3M_FOCC=legacy to force the byte-row structure (A/B bench)."""
+    import os
+    if sigma > 256:
+        raise ValueError("FusedOcc stores symbols as bytes (sigma <= 256); "
+                         "use ops/rank.py OccTable for wider alphabets")
     bwt = jnp.asarray(bwt)
     n = int(bwt.shape[0])
+    if (sigma <= 8 and block == BLOCK
+            and os.environ.get("BWTB3M_FOCC") != "legacy"):
+        from .focc_bp import build_focc_bp
+        return build_focc_bp(bwt, int(sigma), pad_shape)
     nb = max(1, (n + block - 1) // block)
     nb_pad = _pad_rows(nb + 1) if pad_shape else nb + 1
     return _build_focc_jax(bwt, int(sigma), int(block), int(nb_pad))
@@ -165,8 +182,10 @@ def _inblock_count(focc: FusedOcc, rows: jnp.ndarray, c: jnp.ndarray,
 def _symbol_at(focc: FusedOcc, rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
     syms = rows[:, : focc.block]
     col = lax.broadcasted_iota(jnp.uint32, syms.shape, 1)
-    return jnp.sum(jnp.where(col == off[:, None], syms.astype(jnp.int32), 0),
-                   axis=1)
+    # & 0xFF: rows are int8 bit patterns; symbols >= 128 (bytestream
+    # alphabets) must not sign-extend
+    return jnp.sum(jnp.where(col == off[:, None],
+                             syms.astype(jnp.int32) & 0xFF, 0), axis=1)
 
 
 def _select_c(focc: FusedOcc, c: jnp.ndarray) -> jnp.ndarray:
@@ -176,24 +195,33 @@ def _select_c(focc: FusedOcc, c: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(col == c[:, None], ctab, jnp.uint32(0)), axis=1)
 
 
-def rank_batch_f(focc: FusedOcc, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+def rank_batch_f(focc, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     """Batched rank: occurrences of c[j] (int32) in bwt[0:i[j]) (uint32)."""
+    if not isinstance(focc, FusedOcc):
+        from .focc_bp import rank_batch_bp
+        return rank_batch_bp(focc, c, i)
     i = i.astype(jnp.uint32)
     rows, off = _gather_rows(focc, i)
     return _occ_base(focc, rows, c) + _inblock_count(focc, rows, c, off)
 
 
-def access_batch_f(focc: FusedOcc, i: jnp.ndarray) -> jnp.ndarray:
+def access_batch_f(focc, i: jnp.ndarray) -> jnp.ndarray:
     """Batched bwt[i] (int32)."""
+    if not isinstance(focc, FusedOcc):
+        from .focc_bp import access_batch_bp
+        return access_batch_bp(focc, i)
     rows, off = _gather_rows(focc, i.astype(jnp.uint32))
     return _symbol_at(focc, rows, off)
 
 
-def lf_step_batch_f(focc: FusedOcc, r: jnp.ndarray
+def lf_step_batch_f(focc, r: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extended LF for a batch of uint32 ranks: (sym int32, r' uint32) with
     r' = C[sym] + rank(sym, r) — ONE row gather serves the symbol read, the
     checkpoint bytes and the in-block count."""
+    if not isinstance(focc, FusedOcc):
+        from .focc_bp import lf_step_batch_bp
+        return lf_step_batch_bp(focc, r)
     r = r.astype(jnp.uint32)
     rows, off = _gather_rows(focc, r)
     sym = _symbol_at(focc, rows, off)
@@ -202,9 +230,12 @@ def lf_step_batch_f(focc: FusedOcc, r: jnp.ndarray
     return sym, _select_c(focc, sym) + base + inblk
 
 
-def backward_step_f(focc: FusedOcc, c: jnp.ndarray, lo: jnp.ndarray,
+def backward_step_f(focc, c: jnp.ndarray, lo: jnp.ndarray,
                     hi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched FM backward-search step on uint32 intervals."""
+    if not isinstance(focc, FusedOcc):
+        from .focc_bp import backward_step_bp
+        return backward_step_bp(focc, c, lo, hi)
     csel = _select_c(focc, c)
     return (csel + rank_batch_f(focc, c, lo),
             csel + rank_batch_f(focc, c, hi))

@@ -63,12 +63,14 @@ def _chain_step(focc: FusedOcc, c_first: jnp.ndarray, consts: jnp.ndarray,
 
 
 def _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase):
-    """Row gathers for one 256-step window: text rows + packed gt rows."""
+    """Row gathers for one 256-step window: text rows (256 raw bytes or
+    128 nibble-packed bytes per 256 symbols — see build_text_rows) +
+    packed gt rows."""
     off = jnp.maximum(starts_al - kbase, 0)
     prow = off >> 8
     trow = jnp.take(
         text_rows, jnp.minimum(prow + lo0_row, text_rows.shape[0] - 1),
-        axis=0)                                     # [T, 256] int8
+        axis=0)                                # [T, 256] or [T, 128] int8
     grow = jnp.take(
         gt_rows, jnp.minimum(prow, gt_rows.shape[0] - 1), axis=0)  # [T, 32]
     return trow, grow
@@ -76,7 +78,16 @@ def _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase):
 
 def _col_read(trow, grow, i):
     col = 255 - i
-    c = lax.dynamic_slice_in_dim(trow, col, 1, axis=1)[:, 0].astype(jnp.int32)
+    if trow.shape[1] == TEXT_BLOCK // 2:
+        # nibble-packed rows (sigma <= 16): byte col>>1, low nibble first
+        byte = lax.dynamic_slice_in_dim(
+            trow, col >> 1, 1, axis=1)[:, 0].astype(jnp.int32) & 0xFF
+        c = (byte >> ((col & 1) * 4)) & 0xF
+    else:
+        # & 0xFF: raw byte rows are int8 bit patterns; symbols >= 128
+        # (bytestream alphabets) must not sign-extend
+        c = lax.dynamic_slice_in_dim(trow, col, 1, axis=1)[:, 0].astype(
+            jnp.int32) & 0xFF
     gbyte = lax.dynamic_slice_in_dim(grow, col >> 3, 1, axis=1)[:, 0]
     g0 = ((gbyte >> (col & 7).astype(jnp.uint8)) & 1).astype(jnp.int32)
     return c, g0
@@ -144,37 +155,57 @@ _anchor_chunk = partial(jax.jit, static_argnums=(0,))(_anchor_chunk_impl)
 
 
 def _pad_pow2(x: int, lo: int = 1024) -> int:
-    return max(lo, 1 << (max(1, x) - 1).bit_length())
+    """Quarter-octave shape buckets (<= 4 per power of two): compile reuse
+    without pow2's up-to-2x memory waste — the int32 gap histogram of a
+    1.6 G-rank root merge pads to 7 GB instead of 8.6 GB."""
+    x = max(lo, max(1, x))
+    p = 1 << (x - 1).bit_length()
+    for frac in (p // 2 + p // 8, p // 2 + p // 4, p // 2 + 3 * p // 8, p):
+        if x <= frac:
+            return frac
+    return p
 
 
-def build_text_rows(text: np.ndarray) -> "jnp.ndarray":
-    """Upload the whole text once as int8 rows [ceil(n/256), 256] (4-bit
-    packed transfer; sigma <= 16)."""
-    from .. import native
-    from .pack import unpack_bits_device
+def build_text_rows(text: np.ndarray, sigma: int = 16) -> "jnp.ndarray":
+    """Upload the whole text once as int8 rows covering 256 symbols each:
+    nibble-packed [nrows, 128] for sigma <= 16 (half the HBM, and the
+    rows stay the packed transfer — no device unpack pass), raw bytes
+    [nrows, 256] for sigma <= 256.
 
+    2-D rows are load-bearing beyond 2^31 symbols: XLA:TPU buffers are
+    indexable to 2^31-1 per dimension only (measured — a flat int8
+    [2^31+1024] array silently reads zeros), so the text must never be
+    reshaped to 1-D at scale; readers address (row = pos>>8, col).
+    Readers mask with & 0xFF against int8 sign extension."""
     n = len(text)
     nrows = (n + TEXT_BLOCK - 1) // TEXT_BLOCK
     npad = nrows * TEXT_BLOCK
     t = np.asarray(text, dtype=np.uint8)
     if npad != n:
         t = np.concatenate([t, np.zeros(npad - n, np.uint8)])
+    if sigma > 16:
+        return jnp.asarray(
+            t.reshape(nrows, TEXT_BLOCK).view(np.int8))
+    from .. import native
     packed = native.pack_bits_u8(t, 4)
     if packed is None:
         from ..io.compact import pack_bits
         packed = pack_bits(t.astype(np.int64), 4)
-    dev = unpack_bits_device(jnp.asarray(packed), 4, npad)
-    return dev.astype(jnp.int8).reshape(nrows, TEXT_BLOCK)
+    return jnp.asarray(
+        np.asarray(packed, np.uint8).reshape(nrows, TEXT_BLOCK // 2)
+        .view(np.int8))
 
 
 def upload_bwt(bwt: np.ndarray, sigma: int) -> "jnp.ndarray":
-    """Host uint8 BWT -> device int8 array (4-bit packed transfer)."""
+    """Host uint8 BWT -> device int8 array (4-bit packed transfer for
+    sigma <= 16, raw bytes for wider alphabets)."""
+    n = len(bwt)
+    b = np.asarray(bwt, dtype=np.uint8)
+    if sigma > 16:
+        return jnp.asarray(b).astype(jnp.int8)
     from .. import native
     from .pack import unpack_bits_device
-
-    n = len(bwt)
     pad = (-n) % 2
-    b = np.asarray(bwt, dtype=np.uint8)
     if pad:
         b = np.concatenate([b, np.zeros(pad, np.uint8)])
     packed = native.pack_bits_u8(b, 4)
@@ -192,7 +223,7 @@ class DeviceGapRunner:
     (uint8, plus its doubled copy for the native comparator).  ``compute``
     runs anchoring + chains and leaves the gap histogram on device;
     ``fetch_gap_compressed`` returns the byte-compressed histogram for the
-    host interleave; ``cnt_le_at`` serves the right-side sample updates.
+    host interleave; ``cnt_le_at_host`` serves the right-side sample updates from the fetched compressed histogram.
     """
 
     def __init__(self, focc: FusedOcc, text_rows, text_host: np.ndarray,
@@ -411,10 +442,33 @@ class DeviceGapRunner:
             ov_val_np = np.zeros(0, np.int64)
         return np.asarray(g8), ov_idx_np, ov_val_np
 
-    def cnt_le_at(self, ranks: np.ndarray) -> np.ndarray:
-        """cnt_le[r] = #left suffixes with R <= r, at the given ranks."""
+    def cnt_le_at_host(self, ranks: np.ndarray, gap8: np.ndarray,
+                       ov_idx: np.ndarray, ov_val: np.ndarray) -> np.ndarray:
+        """cnt_le[r] = #left suffixes with R <= r at the given (sorted or
+        unsorted) ranks, computed on host from the byte-compressed gap —
+        a device cumsum over the full rank space is a 6.4 GB int32
+        transient at a 1.6 G root merge; np.add.reduceat over the sample
+        segments costs O(|gap| + #ranks) with no large temporary."""
         if len(ranks) == 0:
             return np.zeros(0, np.int64)
-        cnt = jnp.cumsum(self.gap[: self.gap_size + 1], dtype=jnp.int32)
-        out = jnp.take(cnt, jnp.asarray(ranks.astype(np.int32)))
-        return np.asarray(out, dtype=np.int64)
+        order = np.argsort(ranks, kind="stable")
+        r_sorted = ranks[order].astype(np.int64)
+        # segment sums gap8[bounds[i]:bounds[i+1]); a trailing 0 sentinel
+        # keeps every reduceat index in range (bounds[-1] may equal
+        # len(gap8)), and zero-length segments (duplicate ranks), where
+        # reduceat returns the start element instead of 0, are masked
+        g = np.concatenate([np.asarray(gap8, np.uint8), np.zeros(1, np.uint8)])
+        bounds = np.concatenate([[0], r_sorted + 1])
+        sums = np.add.reduceat(g, bounds, dtype=np.int64)[:-1]
+        sums = np.where(np.diff(bounds) > 0, sums, 0)
+        cnt_sorted = np.cumsum(sums)
+        # overflow corrections: gap8 saturates at 255; add the surplus of
+        # every overflowed rank <= r
+        if len(ov_idx):
+            surplus = (ov_val - 255).astype(np.int64)
+            pos = np.searchsorted(ov_idx, r_sorted, side="right")
+            cs = np.concatenate([[0], np.cumsum(surplus)])
+            cnt_sorted = cnt_sorted + cs[pos]
+        out = np.empty(len(ranks), np.int64)
+        out[order] = cnt_sorted
+        return out

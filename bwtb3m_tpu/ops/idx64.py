@@ -39,6 +39,26 @@ def take_u32(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(idx.shape + trailing)
 
 
+def take2d_u32(arr2d: jnp.ndarray, row: jnp.ndarray,
+               col: jnp.ndarray) -> jnp.ndarray:
+    """Element gather arr2d[row[j], col[j]] with uint32 indices (CLIP).
+
+    The 2-index form is how big buffers stay addressable on TPU: XLA:TPU
+    buffers index to 2^31-1 per DIMENSION only, so a [nrows, 256] text
+    addresses 2^32+ symbols while a flat 1-D view silently breaks past
+    2^31 (measured; see ops/gapdev.build_text_rows)."""
+    row = row.astype(jnp.uint32).reshape(-1)
+    col = col.astype(jnp.uint32).reshape(-1)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(0, 1),
+        start_index_map=(0, 1),
+    )
+    idx = jnp.stack([row, col], axis=1)
+    return lax.gather(arr2d, idx, dnums, slice_sizes=(1, 1),
+                      mode=lax.GatherScatterMode.CLIP)
+
+
 def scatter_set_u32(out: jnp.ndarray, idx: jnp.ndarray,
                     vals: jnp.ndarray) -> jnp.ndarray:
     """out.at[idx].set(vals) with uint32 indices; out-of-range drops

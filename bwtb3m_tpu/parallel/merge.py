@@ -68,7 +68,12 @@ class ShardedGapRunner:
 
     def run_chains(self, starts: np.ndarray, seeds: np.ndarray,
                    lens: np.ndarray) -> np.ndarray:
-        """Returns the summed gap histogram (int64 [gap_size+1])."""
+        """Drop-in for DeviceGapRunner.run_chains with the chain lanes
+        sharded over the mesh: leaves the summed gap histogram, final
+        lane ranks and harvested samples on the wrapped runner (so
+        gap_checksum / fetch_gap_compressed / harvest_samples all work
+        unchanged), and also returns the histogram as int64 for the
+        dryrun's bit-identity check."""
         from ..ops.gapdev import _pad_pow2
         r = self.r
         D = self.mesh.devices.size
@@ -83,17 +88,41 @@ class ShardedGapRunner:
         rj = jnp.asarray(rr)
         saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
         max_steps = int(at.max())
+        rate = r.sample_rate
+        aligned_abs = aligned + r.lo0
+        phase = (aligned_abs % rate).astype(np.int64) if rate else None
+        r._samples = []
         done = 0
         while done < max_steps:
             outer = min(8, (max_steps - done + 255) // 256)
+            chunklen = outer * 256
             if outer not in self._fns:
                 self._fns[outer] = sharded_chain_chunk_fn(
                     self.mesh, outer, self.axis)
-            idxc = jnp.zeros((1, T), jnp.int32)
-            rj, gap, _samp = self._fns[outer](
+            if rate:
+                nsamp = chunklen // rate + 1
+                k0p = (phase - done) % rate
+                idx = (k0p[None, :] + rate * np.arange(nsamp)[:, None])
+                valid = idx < chunklen
+                idxc = np.zeros((nsamp, T), np.int32)
+                idxc[:, : len(starts)] = np.minimum(idx, chunklen - 1)
+            else:
+                nsamp = 1
+                idxc = np.zeros((1, T), np.int32)
+                valid = None
+            rj, gap, samp = self._fns[outer](
                 r.focc, r.text_rows, r.gt_rows,
                 jnp.int32(r.lo0 // 256), r.c_first, r.consts,
-                saj, afj, atj, gap, rj, jnp.int32(done), idxc)
-            done += outer * 256
-        total = np.asarray(jnp.sum(gap, axis=0), dtype=np.int64)
-        return total[: r.gap_size + 1]
+                saj, afj, atj, gap, rj, jnp.int32(done),
+                jnp.asarray(idxc))
+            if rate:
+                r._samples.append(
+                    (done, np.asarray(samp)[:, : len(starts)], valid))
+            done += chunklen
+        # one reduction at the end (not one per step); runner state now
+        # mirrors a single-device run exactly
+        r.gap = jnp.sum(gap, axis=0)
+        r.final_rs = np.asarray(rj)[: len(starts)].astype(np.int64)
+        r._lanes = (starts.copy(), lens.copy(), aligned_abs.copy(),
+                    af[: len(starts)].copy(), at[: len(starts)].copy())
+        return np.asarray(r.gap, dtype=np.int64)[: r.gap_size + 1]

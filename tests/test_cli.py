@@ -302,3 +302,72 @@ def test_probescan_words_long_kmer(tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[0]
     _n, nk, matched, _m = line.split("\t")
     assert int(nk) == 1 and int(matched) == 1
+
+
+def test_fa4suffixarraytocompact(tmp_path):
+    # build a compact4 + .meta, then map sampled SA values to (seq, off)
+    fa = str(tmp_path / "z.fa")
+    _write_fasta(fa, [("s1", "ACGTAC"), ("s2", "GGTT")])
+    c4 = str(tmp_path / "z.c4")
+    assert run(["fagzToCompact4", "outputfilename=" + c4, fa]) == 0
+    sa = str(tmp_path / "z.sa")
+    # positions spanning both sequences + one past-the-end (terminator)
+    values = np.array([0, 3, 5, 6, 9, 10], dtype=np.int64)
+    formats.write_sampled_array(sa, 1, values)
+    out = str(tmp_path / "z.fa4c")
+    assert run(["fa4suffixarraytocompact", "outputfilename=" + out,
+                sa, c4 + ".meta"]) == 0
+    coords, _bits = compact.read_compact(out)
+    # lens = [6, 4]; maxlen 6 -> obits = 3
+    obits = 3
+    expect = [(0 << obits) | 0, (0 << obits) | 3, (0 << obits) | 5,
+              (1 << obits) | 0, (1 << obits) | 3, (2 << obits) | 0]
+    assert coords.tolist() == expect
+
+
+def test_fagz_bigband_layouts(tmp_path):
+    from bwtb3m_tpu.cli.prep import _map_seq, _revcomp
+    fa = str(tmp_path / "bb.fa")
+    _write_fasta(fa, [("s1", "ACGT"), ("s2", "GGC")])
+    s1 = _map_seq(b"ACGT")
+    s2 = _map_seq(b"GGC")
+    fwd = np.concatenate([s1, s2])
+    out = str(tmp_path / "bb.c4bb")
+    assert run(["fagzToCompact4BigBand", "outputfilename=" + out, fa]) == 0
+    sym, bits = compact.read_compact(out)
+    assert bits == 2
+    # bigband: all sequences forward, then rc of the whole stream
+    assert sym.tolist() == np.concatenate([fwd, _revcomp(fwd)]).tolist()
+    out2 = str(tmp_path / "bb.c4bd")
+    assert run(["fagzToCompact4BigBandBiDir", "outputfilename=" + out2,
+                fa]) == 0
+    sym2, _ = compact.read_compact(out2)
+    # bidir: forward then rc per sequence
+    expect = np.concatenate([s1, _revcomp(s1), s2, _revcomp(s2)])
+    assert sym2.tolist() == expect.tolist()
+
+
+def test_decodecompact_cli(tmp_path, capsysbinary):
+    path = str(tmp_path / "d.compact")
+    sym = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.int64)
+    compact.write_compact(path, sym, 4)
+    assert run(["decodecompact", path]) == 0
+    out = capsysbinary.readouterr().out
+    assert list(out) == sym.tolist()
+
+
+def test_bytestream_to_lz4_cli(tmp_path):
+    from bwtb3m_tpu.io.lz4io import read_lz4_stream
+    src = str(tmp_path / "s.bin")
+    rng = np.random.default_rng(3)
+    # compressible + random mix, multiple 64k blocks
+    data = np.concatenate([
+        np.zeros(70000, np.uint8),
+        rng.integers(0, 256, 70000, dtype=np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), 300),
+    ])
+    data.tofile(src)
+    out = str(tmp_path / "s.lz4")
+    assert run(["bytestreamToLz4", "outputfilename=" + out, src]) == 0
+    back = np.frombuffer(read_lz4_stream(out), dtype=np.uint8)
+    assert np.array_equal(back, data)

@@ -136,3 +136,32 @@ def test_select_ssa(tmp_path):
     wanted = rng.integers(0, len(text), 40)
     got = select_ssa(res.bwt_path, wanted)
     np.testing.assert_array_equal(got, sa[wanted])
+
+
+def test_ssa_wrap_lane_fused(tmp_path):
+    """The fused SSA harvest's wrap lane (seeded at position 0, walking
+    n-1, n-2, ...) must record circularly wrapped positions and shift its
+    ISA sampling grid by n % isarate (round-3 regression: unwrapped uint32
+    positions came out off by 2^32 - n, and wrap-lane ISA samples landed
+    on the wrong grid whenever n % isarate != 0)."""
+    import numpy as np
+    from bwtb3m_tpu.engine import BwtOptions, compute_bwt, compute_ssa
+    from bwtb3m_tpu.io import formats
+    from bwtb3m_tpu.ops.doubling import suffix_array
+
+    rng = np.random.default_rng(303)
+    n = 5437  # prime: n % isarate != 0 for every rate used below
+    raw = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    p = tmp_path / "w.bin"
+    p.write_bytes(raw.tobytes())
+    # preisa rate larger than n/4 makes the wrap lane cover a long tail
+    res = compute_bwt(BwtOptions(
+        input_path=str(p), preisa_sampling_rate=2048, bwt_only=True,
+        output_filename=str(tmp_path / "w.bwt")))
+    sa_path, isa_path = compute_ssa(res.bwt_path, 16, 48)
+    _r, sa_vals = formats.read_sampled_array(sa_path)
+    _r2, isa_vals = formats.read_sampled_array(isa_path)
+    text = raw.astype(np.int32)
+    sa, isa, _ = suffix_array(text, int(text.max()) + 1)
+    assert np.array_equal(sa_vals, np.asarray(sa)[::16])
+    assert np.array_equal(isa_vals, np.asarray(isa)[::48])

@@ -67,3 +67,44 @@ def test_focc_backward_search_counts():
         win = np.lib.stride_tricks.sliding_window_view(ext, k)
         expect = int(np.sum(np.all(win == pat, axis=1)))
         assert count == expect
+
+
+def test_focc_bitplane_vs_byterow():
+    """The sigma<=8 bit-plane structure (ops/focc_bp.py) must agree with
+    the byte-row FusedOcc on every query type, including i == n and the
+    padded tail block."""
+    from bwtb3m_tpu.ops.focc import BLOCK, _build_focc_jax, _pad_rows
+    from bwtb3m_tpu.ops.focc_bp import (
+        access_batch_bp, backward_step_bp, build_focc_bp, lf_step_batch_bp,
+        rank_batch_bp)
+
+    rng = np.random.default_rng(7)
+    for n, sigma in ((1, 2), (255, 2), (256, 8), (257, 7), (5000, 5),
+                     (65536, 4), (70001, 8)):
+        bwt = rng.integers(0, sigma, n).astype(np.int8)
+        nb = max(1, (n + BLOCK - 1) // BLOCK)
+        legacy = _build_focc_jax(jnp.asarray(bwt), sigma, BLOCK,
+                                 _pad_rows(nb + 1))
+        bp = build_focc_bp(jnp.asarray(bwt), sigma)
+        q = rng.integers(0, n + 1, 513).astype(np.uint32)
+        q[0] = n
+        q[1] = 0
+        c = rng.integers(0, sigma, 513).astype(np.int32)
+        qj, cj = jnp.asarray(q), jnp.asarray(c)
+        assert np.array_equal(np.asarray(rank_batch_f(legacy, cj, qj)),
+                              np.asarray(rank_batch_bp(bp, cj, qj))), (n, sigma)
+        qa = jnp.asarray(rng.integers(0, n, 257).astype(np.uint32))
+        assert np.array_equal(np.asarray(access_batch_f(legacy, qa)),
+                              np.asarray(access_batch_bp(bp, qa)))
+        r = jnp.asarray(rng.integers(0, n, 257).astype(np.uint32))
+        s1, r1 = lf_step_batch_f(legacy, r)
+        s2, r2 = lf_step_batch_bp(bp, r)
+        assert np.array_equal(np.asarray(s1), np.asarray(s2))
+        assert np.array_equal(np.asarray(r1), np.asarray(r2))
+        lo = jnp.asarray(rng.integers(0, n, 65).astype(np.uint32))
+        hi = jnp.asarray(np.minimum(np.asarray(lo) + 37, n).astype(np.uint32))
+        cs = jnp.asarray(rng.integers(0, sigma, 65).astype(np.int32))
+        l1, h1 = backward_step_f(legacy, cs, lo, hi)
+        l2, h2 = backward_step_bp(bp, cs, lo, hi)
+        assert np.array_equal(np.asarray(l1), np.asarray(l2))
+        assert np.array_equal(np.asarray(h1), np.asarray(h2))
