@@ -34,8 +34,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..ops.gapdev import DeviceGapRunner, build_text_rows, upload_bwt
-from ..ops.focc import build_focc
+from ..ops.gapdev import DeviceGapRunner, build_text_rows
+from ..ops.focc_build import build_focc_host
 from ..util.log import VerboseLog
 from .options import BwtOptions
 
@@ -128,22 +128,31 @@ def _region_derive_fn():
     from ..ops.idx64 import take2d_u32
     from ..ops.pack import pack_bits_device
 
-    @functools.partial(jax.jit, static_argnums=(4, 5))
-    def fn(text_rows, sa_local, s, n, rate: int, bits: int):
+    @functools.partial(jax.jit, static_argnums=(7, 8))
+    def fn(text_rows, sa_local, s_hi, s_lo, nm1_hi, nm1_lo, first,
+           rate: int, bits: int):
         """Device-side region pieces from a block's local rotation order:
         (packed BWT bytes, sample local ranks [nsamp_max], r_start).
         Only ~0.5-1 byte/symbol crosses the relay; s and n are traced so
-        all equal-size blocks share one compile.  Positions are uint32
-        with an explicit s+sa == 0 test before the decrement, and the
-        text gather is a 2-index (row, col) raw-u32 gather from the 2-D
-        rows — a flat int32 take silently corrupts every block past
-        position 2^31 (round-2 ADVICE high; XLA:TPU buffers index at most
-        2^31-1 per dimension)."""
+        all equal-size blocks share one compile.  Positions are carried
+        as (hi, lo) uint32 pairs — texts past 2^32 symbols exceed a
+        single word — and the text gather is a 2-index (row, col)
+        raw-u32 gather from the 2-D rows with row = hi * 2^24 | lo >> 8
+        (a flat int32 take silently corrupts every block past position
+        2^31; round-2 ADVICE high)."""
         block_len = sa_local.shape[0]
-        pos = s + sa_local.astype(jnp.uint32)       # in [s, e) subset [0, n)
-        idx = jnp.where(pos == jnp.uint32(0), n, pos) - jnp.uint32(1)
-        row = idx >> jnp.uint32(8)
-        col = idx & jnp.uint32(255)
+        sa = sa_local.astype(jnp.uint32)
+        pos_lo = s_lo + sa                          # in [s, e) subset [0, n)
+        pos_hi = s_hi + (pos_lo < s_lo).astype(jnp.uint32)
+        at_zero = jnp.logical_and(pos_lo == jnp.uint32(0),
+                                  pos_hi == jnp.uint32(0))
+        # idx = (pos - 1) mod n
+        idx_lo = jnp.where(at_zero, nm1_lo, pos_lo - jnp.uint32(1))
+        idx_hi = jnp.where(
+            at_zero, nm1_hi,
+            pos_hi - (pos_lo == jnp.uint32(0)).astype(jnp.uint32))
+        row = (idx_hi << jnp.uint32(24)) | (idx_lo >> jnp.uint32(8))
+        col = idx_lo & jnp.uint32(255)
         if bits == 4:
             byte = take2d_u32(text_rows, row, col >> jnp.uint32(1)).astype(
                 jnp.int32) & 0xFF
@@ -156,7 +165,6 @@ def _region_derive_fn():
         packed = pack_bits_device(bwt_p & 0xFF, bits)
         inv = jnp.zeros(block_len, jnp.int32).at[sa_local].set(
             lax.broadcasted_iota(jnp.int32, (block_len,), 0))
-        first = (rate - (s % jnp.uint32(rate))) % jnp.uint32(rate)
         nsamp_max = block_len // rate + 1
         sidx = (first.astype(jnp.int32) +
                 rate * lax.broadcasted_iota(jnp.int32, (nsamp_max,), 0))
@@ -318,7 +326,10 @@ def _sort_block_scaled(ctx: _Ctx, s: int, e: int) -> _RegionS:
         _region_derive = _region_derive_fn()
     import jax.numpy as jnp
     packed, samp, r0 = _region_derive(
-        ctx.text_rows, sa_local, jnp.uint32(s), jnp.uint32(n),
+        ctx.text_rows, sa_local,
+        jnp.uint32(s >> 32), jnp.uint32(s & 0xFFFFFFFF),
+        jnp.uint32((n - 1) >> 32), jnp.uint32((n - 1) & 0xFFFFFFFF),
+        jnp.uint32((-s) % ctx.rate),
         int(ctx.rate), int(ctx.bits))
     pk = np.asarray(packed)
     if ctx.bits == 4:
@@ -356,7 +367,10 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
     block_len = m - s
     log = ctx.log
 
-    focc = build_focc(upload_bwt(right.bwt, ctx.sigma), ctx.sigma)
+    # chunked host->device build: O(chunk) transients (the monolithic
+    # builder's 4 B/symbol int32 staging would exceed HBM at Gbp-scale
+    # root merges) and no flat device array
+    focc = build_focc_host(right.bwt, ctx.sigma)
     runner = DeviceGapRunner(
         focc, ctx.text_rows, ctx.text, ctx.dbl, s, m, e,
         isa_m=right.r_start, first_hist=right.hist,
@@ -393,9 +407,19 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
         # run so everything downstream is unchanged
         from ..parallel.merge import ShardedGapRunner
         ShardedGapRunner(ctx.mesh, runner).run_chains(starts, seeds, lens)
+        total = runner.gap_checksum()
     else:
         runner.run_chains(starts, seeds, lens)
-    total = runner.gap_checksum()
+        total = runner.gap_checksum()
+        if total != block_len:
+            # a u16 histogram cell wrapped (>= 2^16 left suffixes between
+            # one right pair — extremely repetitive input): rerun the
+            # chains with the int32 histogram; wraps only lower the sum,
+            # so a clean checksum certifies the u16 result
+            log.v("gap u16 checksum %d != %d: rerunning chains with "
+                  "int32 histogram" % (total, block_len))
+            runner.run_chains(starts, seeds, lens, force_int32=True)
+            total = runner.gap_checksum()
     assert total == block_len, (total, block_len)
     # chain self-check: every lane's final R(bounds[j]) must equal the
     # anchor-provided seed of the lane to its left (exact because resolved
@@ -448,9 +472,12 @@ def blockwise_bwt_scaled(
         raise ValueError("scaled merge engine supports sigma <= 256 "
                          "(byte device text); rank-compact the alphabet "
                          "first (engine/api.py does for utf-8)")
-    if n >= (1 << 32):
-        raise ValueError("texts >= 2^32 symbols need the two-word rank "
-                         "path (ROADMAP)")
+    if n >= (1 << 33):
+        # the balanced tree keeps every per-merge rank space < 2^32 for
+        # n < 2^33, so uint32 chain lanes stay exact; past that the
+        # chains themselves would need (hi, lo) rank words
+        raise ValueError("texts >= 2^33 symbols need two-word chain "
+                         "ranks (merge rank spaces exceed uint32)")
     from ..util.devices import device_scope
     with device_scope(n):
         ctx = _Ctx(text, sigma, sample_rate, options, log, lane_bucket,

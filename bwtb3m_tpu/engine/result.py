@@ -123,26 +123,14 @@ class BwtResult:
                 bwt = remap[bwt]
                 sigma = len(present)
                 symmap = present.astype(np.int64)
-        import jax.numpy as jnp
+        from ..ops.focc_build import build_focc_host
 
-        from ..ops.focc import build_focc
-        from ..ops.pack import unpack_bits_device
-        from .. import native
-
-        if sigma <= 16:
-            packed = native.pack_bits_u8(bwt.astype(np.uint8), 4)
-            if packed is None:
-                from ..io.compact import pack_bits
-                packed = pack_bits(bwt.astype(np.int64), 4)
-            pad = (-len(bwt)) % 2
-            bwt_dev = unpack_bits_device(
-                jnp.asarray(packed), 4, len(bwt) + pad)[: len(bwt)]
-        elif sigma <= 256:
-            # byte transfer (4x less than int32); build_focc masks & 0xFF
-            bwt_dev = jnp.asarray(np.asarray(bwt, dtype=np.uint8))
-        else:
-            bwt_dev = jnp.asarray(bwt.astype(np.int32))
-        return build_focc(bwt_dev, sigma), symmap
+        # chunked streaming build: bit-packed per-chunk transfers, O(chunk)
+        # device transients, and no flat device array — the monolithic
+        # builder silently breaks past 2^31 symbols (flat-buffer limit)
+        # and stages 4 B/symbol of int32 transients
+        return build_focc_host(np.asarray(bwt, dtype=np.uint8),
+                               sigma), symmap
 
     def load_preisa(self):
         return formats.read_preisa(self.preisa_path)

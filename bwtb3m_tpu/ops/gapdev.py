@@ -53,26 +53,39 @@ def _select_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def _chain_step(focc: FusedOcc, c_first: jnp.ndarray, consts: jnp.ndarray,
                 r: jnp.ndarray, c: jnp.ndarray, g0: jnp.ndarray,
                 active: jnp.ndarray) -> jnp.ndarray:
-    """One masked recurrence step for all lanes; returns updated r."""
-    rk = rank_batch_f(focc, c, r.astype(jnp.uint32)).astype(jnp.int32)
+    """One masked recurrence step for all lanes; returns updated r.
+
+    All rank values are uint32 end-to-end (c_first, consts and the lane
+    ranks): right regions up to 2^32-1 rotations are exact — an int32
+    lane would corrupt every rank >= 2^31 through its signed compare
+    against consts[0] (texts of 2^32..2^33 symbols hit this at the root
+    merge)."""
+    rk = rank_batch_f(focc, c, r)
     cnt_lt = _select_small(c_first, c)
-    corr = jnp.logical_and(consts[0] < r, c == consts[1]).astype(jnp.int32)
-    wrap = jnp.logical_and(c == consts[2], g0 == 1).astype(jnp.int32)
+    cu = c.astype(jnp.uint32)
+    corr = jnp.logical_and(consts[0] < r, cu == consts[1]).astype(jnp.uint32)
+    wrap = jnp.logical_and(cu == consts[2], g0 == 1).astype(jnp.uint32)
     r_new = cnt_lt + rk - corr + wrap
     return jnp.where(active, r_new, r)
 
 
-def _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase):
+def _read_tg(text_rows, gt_rows, start_rows, lo0_row, kbase):
     """Row gathers for one 256-step window: text rows (256 raw bytes or
     128 nibble-packed bytes per 256 symbols — see build_text_rows) +
-    packed gt rows."""
-    off = jnp.maximum(starts_al - kbase, 0)
-    prow = off >> 8
+    packed gt rows.
+
+    Lanes are addressed by their ABSOLUTE text row index (start_rows,
+    int32 — < 2^25 even at 2^33 symbols), not by a flat symbol offset:
+    walk starts are phase-aligned to 255 mod 256 so column arithmetic
+    never leaves the row, and row indices keep every position width out
+    of the kernel."""
+    prow = jnp.maximum(start_rows - (kbase >> 8), 0)
     trow = jnp.take(
-        text_rows, jnp.minimum(prow + lo0_row, text_rows.shape[0] - 1),
+        text_rows, jnp.minimum(prow, text_rows.shape[0] - 1),
         axis=0)                                # [T, 256] or [T, 128] int8
     grow = jnp.take(
-        gt_rows, jnp.minimum(prow, gt_rows.shape[0] - 1), axis=0)  # [T, 32]
+        gt_rows, jnp.minimum(jnp.maximum(prow - lo0_row, 0),
+                             gt_rows.shape[0] - 1), axis=0)  # [T, 32]
     return trow, grow
 
 
@@ -94,19 +107,25 @@ def _col_read(trow, grow, i):
 
 
 def _chain_chunk_impl(outer: int, focc: FusedOcc, text_rows, gt_rows,
-                      lo0_row, c_first, consts, starts_al, afrom, ato, gap,
+                      lo0_row, c_first, consts, start_rows, afrom, ato, gap,
                       r0, k0, samp_idx):
     """Run outer*256 steps for all lanes, recording every R into the gap
     histogram (out-of-range sentinel rows are dropped by the scatter) and
     harvesting the sample rows named by samp_idx. Returns (r, gap, samp).
     Plain traceable body — also the per-shard program of the mesh-sharded
     merge (parallel/merge.py shards the lane axis and keeps the occ rows
-    replicated)."""
-    sentinel = jnp.int32(gap.shape[0])
+    replicated).
+
+    The histogram is 2-D [rows, 256] (uint16 or int32): rank spaces past
+    2^31 cells exceed the per-dimension buffer limit as a flat array, and
+    the (row, col) scatter keeps uint32 rank indices exact."""
+    # sentinel row 2^24 - 1 is out of range for every legal histogram
+    # (run_chains asserts rank spaces stay 256 short of 2^32)
+    sentinel = jnp.uint32(0xFFFFFFFF)
 
     def outer_body(r, o):
         kbase = k0 + o * 256
-        trow, grow = _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase)
+        trow, grow = _read_tg(text_rows, gt_rows, start_rows, lo0_row, kbase)
 
         def inner(r, i):
             c, g0 = _col_read(trow, grow, i)
@@ -120,8 +139,12 @@ def _chain_chunk_impl(outer: int, focc: FusedOcc, text_rows, gt_rows,
         return r, ys
 
     r, ys = lax.scan(outer_body, r0, jnp.arange(outer, dtype=jnp.int32))
-    ys_flat = ys.reshape(outer * 256, starts_al.shape[0])
-    gap = gap.at[ys_flat.reshape(-1)].add(1, mode="drop")
+    ys_flat = ys.reshape(outer * 256, start_rows.shape[0])
+    yr = ys_flat.reshape(-1)
+    # row < 2^24 always fits int32; sentinel lands one row past the end
+    gap = gap.at[(yr >> jnp.uint32(8)).astype(jnp.int32),
+                 (yr & jnp.uint32(255)).astype(jnp.int32)].add(
+        1, mode="drop")
     samp = jnp.take_along_axis(ys_flat, samp_idx, axis=0)
     return r, gap, samp
 
@@ -131,13 +154,13 @@ _chain_chunk = partial(jax.jit, static_argnums=(0,), donate_argnums=(10,))(
 
 
 def _anchor_chunk_impl(outer: int, focc: FusedOcc, text_rows, gt_rows,
-                       lo0_row, c_first, consts, starts_al, afrom, ato, r0,
+                       lo0_row, c_first, consts, start_rows, afrom, ato, r0,
                        k0):
     """Same stepping without recording — used for both contraction bounds."""
 
     def outer_body(r, o):
         kbase = k0 + o * 256
-        trow, grow = _read_tg(text_rows, gt_rows, starts_al, lo0_row, kbase)
+        trow, grow = _read_tg(text_rows, gt_rows, start_rows, lo0_row, kbase)
 
         def inner(i, r):
             c, g0 = _col_read(trow, grow, i)
@@ -230,7 +253,7 @@ class DeviceGapRunner:
                  dbl_text: Optional[np.ndarray], s: int, m: int, e: int,
                  isa_m: int, first_hist: np.ndarray,
                  lane_bucket: int = 1 << 16, sample_rate: int = 0,
-                 nthreads: int = 4, log=None):
+                 nthreads: int = 4, log=None, gap_dtype=None):
         self.focc = focc
         self.text_rows = text_rows
         self.text = text_host
@@ -241,19 +264,25 @@ class DeviceGapRunner:
         self.gap_size = self.e - self.m
         assert focc.n == self.gap_size
         self.lane_bucket = lane_bucket
+        # uint16 histogram halves the dominant HBM buffer of a root merge
+        # (3.2 GB instead of 6.4 GB at a 1.6 G-rank right region).  A cell
+        # hit >= 2^16 times wraps — the caller detects it through the
+        # gap_checksum() != block_len invariant (wraps only ever LOWER the
+        # sum) and reruns the chains with int32 via run_chains(force_int32)
+        self.gap_dtype = gap_dtype if gap_dtype is not None else jnp.uint16
         self.sample_rate = int(sample_rate)
         self.nthreads = nthreads
         self.log = log
         self.sigma = int(focc.sigma)
         block_len = self.m - self.s
-        assert block_len < (1 << 31), "left block must stay below 2^31"
+        assert block_len < (1 << 32), "left block must stay below 2^32"
         # c_first[c] = number of M rotations starting with a symbol < c
         self.c_first = jnp.asarray(
-            np.concatenate([[0], np.cumsum(first_hist)[:-1]]).astype(np.int32))
+            np.concatenate([[0], np.cumsum(first_hist)[:-1]]).astype(np.uint32))
         self.sym_before_m = int(text_host[(self.m - 1) % self.n])
         self.sym_last = int(text_host[(self.e - 1) % self.n])
         self.consts = jnp.asarray(np.array(
-            [self.isa_m, self.sym_before_m, self.sym_last], dtype=np.int32))
+            [self.isa_m, self.sym_before_m, self.sym_last], dtype=np.uint32))
         # gt coverage: positions p in [s, cap) with text[p] == sym_last can
         # trigger the wrap term; cap grows lazily when anchors extend
         self.lo0 = (self.s // TEXT_BLOCK) * TEXT_BLOCK
@@ -304,21 +333,24 @@ class DeviceGapRunner:
     # ------------------------------------------------------------- lanes
 
     def _align(self, starts: np.ndarray, lens: np.ndarray):
-        """Offset coords + phase alignment (walk starts padded up to
-        255 mod 256 positions; the pad steps are masked off)."""
+        """Row coords + phase alignment (walk starts padded up to
+        255 mod 256 positions; the pad steps are masked off).  The
+        per-lane coordinate shipped to the kernel is the ABSOLUTE text
+        row of the aligned start (int32; < 2^25 at 2^33 symbols) — flat
+        symbol offsets would exceed uint32 past 2^32."""
         T = self.lane_bucket
         start_off = starts - self.lo0
         aligned = ((start_off + 1 + 255) // 256) * 256 - 1
         afrom = aligned - start_off
         ato = afrom + lens
-        sa = np.full(T, 255, np.int32)
+        rows = np.zeros(T, np.int32)
         af = np.zeros(T, np.int32)
         at = np.zeros(T, np.int32)
         k = len(starts)
-        sa[:k] = aligned
+        rows[:k] = (aligned + self.lo0) >> 8
         af[:k] = afrom
         at[:k] = ato
-        return sa, af, at, aligned
+        return rows, af, at, aligned
 
     def _run_anchor(self, starts: np.ndarray, lbs: np.ndarray,
                     r0_val: int) -> np.ndarray:
@@ -326,11 +358,11 @@ class DeviceGapRunner:
         (starts[j], starts[j]+lbs[j]] seeded at r0_val."""
         walk_start = starts + lbs
         self._ensure_gt(int(walk_start.max()) + 1)
-        sa, af, at, _ = self._align(walk_start, lbs)
-        r = jnp.full(self.lane_bucket, r0_val, jnp.int32)
+        rows, af, at, _ = self._align(walk_start, lbs)
+        r = jnp.full(self.lane_bucket, np.uint32(r0_val), jnp.uint32)
         max_steps = int(at.max())
         done = 0
-        saj = jnp.asarray(sa)
+        saj = jnp.asarray(rows)
         afj = jnp.asarray(af)
         atj = jnp.asarray(at)
         while done < max_steps:
@@ -354,20 +386,26 @@ class DeviceGapRunner:
         return lo, lo == hi
 
     def run_chains(self, starts: np.ndarray, seeds: np.ndarray,
-                   lens: np.ndarray) -> None:
+                   lens: np.ndarray, force_int32: bool = False) -> None:
         """Walk lane j from position starts[j] (seeded with
         R(starts[j]+1) = seeds[j]) for lens[j] steps, recording every new
         R into the device gap histogram and harvesting (pos, R) at
         sample_rate-aligned positions."""
         T = self.lane_bucket
-        gpad = _pad_pow2(self.gap_size + 2)
-        self.gap = jnp.zeros(gpad, jnp.int32)
+        # 2-D histogram: rank spaces past 2^31 cells exceed the flat
+        # per-dimension buffer limit; the sentinel needs one spare row
+        assert self.gap_size + 2 <= ((1 << 24) - 1) * 256, \
+            "rank space must stay 256 short of 2^32"
+        grows = _pad_pow2((self.gap_size + 2 + 255) // 256, lo=4)
+        self._samples = []
+        gdt = jnp.int32 if force_int32 else self.gap_dtype
+        self.gap = jnp.zeros((grows, 256), gdt)
         self._ensure_gt(int(starts.max()) + 1)
-        sa, af, at, aligned = self._align(starts, lens)
-        r = np.zeros(T, np.int32)
+        rows, af, at, aligned = self._align(starts, lens)
+        r = np.zeros(T, np.uint32)
         r[: len(starts)] = seeds
         r = jnp.asarray(r)
-        saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
+        saj, afj, atj = jnp.asarray(rows), jnp.asarray(af), jnp.asarray(at)
         max_steps = int(at.max())
         rate = self.sample_rate
         aligned_abs = aligned + self.lo0
@@ -403,7 +441,10 @@ class DeviceGapRunner:
     # ------------------------------------------------------------ results
 
     def gap_checksum(self) -> int:
-        return int(jnp.sum(self.gap[: self.gap_size + 1]))
+        # explicit u32 accumulator: the u16 histogram must not also wrap
+        # the reduction (block_len < 2^32, so u32 is exact); cells past
+        # gap_size are never written (sentinel rows drop)
+        return int(jnp.sum(self.gap, dtype=jnp.uint32))
 
     def harvest_samples(self) -> Tuple[np.ndarray, np.ndarray]:
         """(positions, R values) at sample_rate-aligned positions."""
@@ -426,21 +467,25 @@ class DeviceGapRunner:
         return pos[order], val[order]
 
     def fetch_gap_compressed(self):
-        """(gap8, ov_idx, ov_val): byte histogram with 255 = overflow."""
+        """(gap8, ov_idx, ov_val): byte histogram with 255 = overflow.
+        Overflow candidates are found on HOST from the fetched bytes
+        (a device flatnonzero over a 2^31+-cell histogram would need the
+        flat view that big buffers cannot take); their exact values come
+        back through one small 2-index device gather."""
+        from .idx64 import take2d_u32
         G = self.gap_size + 1
-        gap = self.gap[:G]
-        g8 = jnp.minimum(gap, 255).astype(jnp.uint8)
-        nov = int(jnp.sum((gap >= 255).astype(jnp.int32)))
-        if nov:
-            size = _pad_pow2(nov, lo=16)
-            ov_idx = jnp.flatnonzero(gap >= 255, size=size, fill_value=G)
-            ov_val = jnp.take(gap, jnp.minimum(ov_idx, G - 1))
-            ov_idx_np = np.asarray(ov_idx, dtype=np.int64)[:nov]
-            ov_val_np = np.asarray(ov_val, dtype=np.int64)[:nov]
+        g8 = np.asarray(
+            jnp.minimum(self.gap, 255).astype(jnp.uint8)).reshape(-1)[:G]
+        ov_idx_np = np.flatnonzero(g8 == 255).astype(np.int64)
+        if len(ov_idx_np):
+            rows = (ov_idx_np >> 8).astype(np.uint32)
+            cols = (ov_idx_np & 255).astype(np.uint32)
+            ov_val_np = np.asarray(
+                take2d_u32(self.gap, jnp.asarray(rows), jnp.asarray(cols)),
+                dtype=np.int64)
         else:
-            ov_idx_np = np.zeros(0, np.int64)
             ov_val_np = np.zeros(0, np.int64)
-        return np.asarray(g8), ov_idx_np, ov_val_np
+        return g8, ov_idx_np, ov_val_np
 
     def cnt_le_at_host(self, ranks: np.ndarray, gap8: np.ndarray,
                        ov_idx: np.ndarray, ov_val: np.ndarray) -> np.ndarray:

@@ -38,20 +38,20 @@ def sharded_chain_chunk_fn(mesh: Mesh, outer: int, axis: str = AXIS):
     replicated, per-shard partial gap histograms returned stacked."""
 
     def body(focc, text_rows, gt_rows, lo0_row, c_first, consts,
-             starts_al, afrom, ato, gap, r0, k0, samp_idx):
+             start_rows, afrom, ato, gap, r0, k0, samp_idx):
         r, g, samp = _chain_chunk_impl(
             outer, focc, text_rows, gt_rows, lo0_row, c_first, consts,
-            starts_al, afrom, ato, gap[0], r0, k0, samp_idx)
-        return r, g[None, :], samp
+            start_rows, afrom, ato, gap[0], r0, k0, samp_idx)
+        return r, g[None], samp
 
     rep = P()
     lane = P(axis)
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, rep,
-                  lane, lane, lane, P(axis, None),
+                  lane, lane, lane, P(axis, None, None),
                   lane, rep, P(None, axis)),
-        out_specs=(lane, P(axis, None), P(None, axis)),
+        out_specs=(lane, P(axis, None, None), P(None, axis)),
     ))
 
 
@@ -80,13 +80,13 @@ class ShardedGapRunner:
         T = r.lane_bucket
         assert T % D == 0
         r._ensure_gt(int(starts.max()) + 1)
-        sa, af, at, aligned = r._align(starts, lens)
-        gpad = _pad_pow2(r.gap_size + 2)
-        gap = jnp.zeros((D, gpad), jnp.int32)
-        rr = np.zeros(T, np.int32)
+        rows, af, at, aligned = r._align(starts, lens)
+        grows = _pad_pow2((r.gap_size + 2 + 255) // 256, lo=4)
+        gap = jnp.zeros((D, grows, 256), jnp.int32)
+        rr = np.zeros(T, np.uint32)
         rr[: len(starts)] = seeds
         rj = jnp.asarray(rr)
-        saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
+        saj, afj, atj = jnp.asarray(rows), jnp.asarray(af), jnp.asarray(at)
         max_steps = int(at.max())
         rate = r.sample_rate
         aligned_abs = aligned + r.lo0
@@ -125,4 +125,4 @@ class ShardedGapRunner:
         r.final_rs = np.asarray(rj)[: len(starts)].astype(np.int64)
         r._lanes = (starts.copy(), lens.copy(), aligned_abs.copy(),
                     af[: len(starts)].copy(), at[: len(starts)].copy())
-        return np.asarray(r.gap, dtype=np.int64)[: r.gap_size + 1]
+        return np.asarray(r.gap, dtype=np.int64).reshape(-1)[: r.gap_size + 1]

@@ -221,3 +221,27 @@ def test_scaled_periodic_scale_memory_bound(tmp_path):
     sa, isa, bwt_d = suffix_array(text, 4)
     assert np.array_equal(bwt_s.astype(np.int64), np.asarray(bwt_d, np.int64))
     assert np.array_equal(srank, np.asarray(isa)[spos])
+
+
+def test_gap_u16_wrap_fallback(tmp_path):
+    # > 2^16 left suffixes between ONE adjacent right-rotation pair: text
+    # a^(n-1) b with the left block all a's. Every left rotation (a-prefix
+    # >= right block length) falls in the same gap cell, wrapping the u16
+    # histogram; the checksum mismatch must trigger the int32 rerun and
+    # the result must stay bit-identical to the doubling engine.
+    n = 65792 + 250
+    text = np.zeros(n, np.int32)
+    text[-1] = 1
+    opts = BwtOptions(input_path="x",
+                      output_filename=str(tmp_path / "t.bwt"),
+                      max_block_symbols=65792)
+
+    msgs = []
+    log = VerboseLog(0)
+    log.v = lambda *a: msgs.append(a[0] if a else "")
+    bwt_s, spos, srank, _hist = blockwise_bwt_scaled(
+        text, 2, opts, log, sample_rate=8192, lane_bucket=64)
+    assert any("rerunning chains with" in m for m in msgs), msgs
+    sa, isa, bwt_d = suffix_array(text, 2)
+    assert np.array_equal(bwt_s.astype(np.int64), np.asarray(bwt_d, np.int64))
+    assert np.array_equal(srank, np.asarray(isa)[spos])

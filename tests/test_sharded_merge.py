@@ -41,7 +41,7 @@ def test_sharded_chains_match_single_device():
     assert ok.all()
     seeds[: T - 1] = vals
     r1.run_chains(starts, seeds, lens)
-    gap_single = np.asarray(r1.gap[: m + 1], dtype=np.int64)
+    gap_single = np.asarray(r1.gap, dtype=np.int64).reshape(-1)[: m + 1]
 
     mesh = make_mesh(8)
     r2 = mkrunner(64)
