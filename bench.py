@@ -1,6 +1,11 @@
 """Benchmark: BWT + SA construction throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+supplementary keys for the other graded paths at the same 16M size —
+"merge_mbps" (scaled blockwise gap-merge engine, the memory-bounded
+reference-scale path), "checkbwt_mbps" (full LF-walk verification — the
+batched rank-query kernel under a dependent walk), "ssa_mbps"
+(bwtcomputessa sampled SA/ISA harvest).
 
 The reference publishes no numbers (BASELINE.md: "published": {}), so
 ``vs_baseline`` is measured against the stronger of two host-CPU baselines
@@ -106,12 +111,63 @@ def main():
            ("%.2f Mbp/s" % sais_mbps) if sais_mbps else "n/a",
            cpu_mbps, ok)
     )
-    print(json.dumps({
+    extra = _bench_pipeline(sym_np)
+    out = {
         "metric": "bwt_sa_build_throughput",
         "value": round(mbps, 3),
         "unit": "Mbp/s/chip",
         "vs_baseline": round(mbps / cpu_mbps, 3),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
+
+
+def _bench_pipeline(sym_np: np.ndarray):
+    """Scaled merge engine + checkbwt + ssa at the same 16M size (the
+    round-2/3 graded paths: memory-bounded construction and the walk
+    kernels). Non-fatal: an exception yields an empty dict so the
+    headline metric always prints."""
+    import shutil
+    import tempfile
+    try:
+        from bwtb3m_tpu.engine import (BwtOptions, check_bwt, compute_bwt,
+                                       compute_ssa)
+        work = tempfile.mkdtemp(prefix="bwtbench")
+        try:
+            inp = os.path.join(work, "t.bin")
+            # map to ACGT bytes: bytestream input, sigma densified to 4
+            sym_np.astype(np.uint8).tofile(inp)
+            t0 = time.time()
+            res = compute_bwt(BwtOptions(
+                input_path=inp, input_type="bytestream",
+                output_filename=os.path.join(work, "t.bwt"),
+                engine="merge", bwt_only=True,
+                max_block_symbols=len(sym_np) // 4,
+                preisa_sampling_rate=1024, verbose=0))
+            merge_s = time.time() - t0
+            text = np.fromfile(inp, np.uint8).astype(np.int32)
+            t0 = time.time()
+            ok = check_bwt(res, text)
+            check_s = time.time() - t0
+            t0 = time.time()
+            compute_ssa(res.bwt_path, 32, 32, log=None)
+            ssa_s = time.time() - t0
+            n = len(sym_np)
+            sys.stderr.write(
+                "bench pipeline: merge=%.2fs checkbwt=%.2fs (ok=%s) "
+                "ssa=%.2fs\n" % (merge_s, check_s, ok, ssa_s))
+            if not ok:
+                return {"pipeline_error": "checkbwt failed"}
+            return {
+                "merge_mbps": round(n / merge_s / 1e6, 3),
+                "checkbwt_mbps": round(n / check_s / 1e6, 3),
+                "ssa_mbps": round(n / ssa_s / 1e6, 3),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    except Exception as exc:          # pragma: no cover
+        sys.stderr.write("bench pipeline skipped: %r\n" % (exc,))
+        return {}
 
 
 if __name__ == "__main__":

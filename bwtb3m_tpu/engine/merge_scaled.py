@@ -64,7 +64,6 @@ class _Ctx:
         self.lane_bucket = lane_bucket
         self.nthreads = nthreads
         self.mesh = mesh        # jax Mesh: shard chain lanes per merge
-        self.dbl = np.concatenate([self.text, self.text])
         self.text_rows = build_text_rows(self.text, sigma)
         self.bits = 4 if sigma <= 16 else 8
 
@@ -232,10 +231,9 @@ def _resolve_tie_groups(ctx: _Ctx, s: int, e: int, lo_order, hi_order):
 
     def cmp_e(gaps: np.ndarray) -> np.ndarray:
         xs = (e - gaps).astype(np.int64)
-        if ctx.dbl is not None:
-            out = native.cmp_rot(ctx.dbl, n, e % n, xs, ctx.nthreads)
-            if out is not None:
-                return out
+        out = native.cmp_rot(ctx.text, n, e % n, xs, ctx.nthreads)
+        if out is not None:
+            return out
         # numpy fallback (no native toolchain): direct rotation compares
         out = np.zeros(len(xs), np.int8)
         te = np.roll(ctx.text, -(e % n))
@@ -372,7 +370,7 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
     # root merges) and no flat device array
     focc = build_focc_host(right.bwt, ctx.sigma)
     runner = DeviceGapRunner(
-        focc, ctx.text_rows, ctx.text, ctx.dbl, s, m, e,
+        focc, ctx.text_rows, ctx.text, s, m, e,
         isa_m=right.r_start, first_hist=right.hist,
         lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
         nthreads=ctx.nthreads, log=log)

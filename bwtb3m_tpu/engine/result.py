@@ -129,8 +129,17 @@ class BwtResult:
         # device transients, and no flat device array — the monolithic
         # builder silently breaks past 2^31 symbols (flat-buffer limit)
         # and stages 4 B/symbol of int32 transients
-        return build_focc_host(np.asarray(bwt, dtype=np.uint8),
-                               sigma), symmap
+        bwt = np.asarray(bwt, dtype=np.uint8)
+        import os
+        if self.n >= (1 << 32) or os.environ.get("BWTB3M_FORCE_WIDE"):
+            # stored occ lo words wrap past 2^32: derive the hi words from
+            # the per-chunk bases and return the two-word structure
+            # (BWTB3M_FORCE_WIDE drives the wide walk kernels on small
+            # inputs for tests — hi words are all zero there)
+            from ..ops.wideocc import widen_focc
+            focc, bases, g = build_focc_host(bwt, sigma, return_bases=True)
+            return widen_focc(focc, bases, g, self.n), symmap
+        return build_focc_host(bwt, sigma), symmap
 
     def load_preisa(self):
         return formats.read_preisa(self.preisa_path)

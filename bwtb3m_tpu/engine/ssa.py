@@ -74,6 +74,72 @@ def _harvest_chunk(outer: int, focc, r, p0, lens, sa_out, n: int,
     return r, sa_out, isa_vals
 
 
+@partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(6, 7))
+def _harvest_chunk_w(outer: int, w, r_hi, r_lo, p_hi, p_lo, sa_lo, sa_hi,
+                     n: int, sarate: int, lens, k0, isa_idx):
+    """Wide-rank harvest chunk for texts past 2^32 symbols: lanes carry
+    (hi, lo) uint32 rank words (ops/wideocc.lf_step_batch_w) and per-step
+    positions are reconstructed two-word with explicit borrow/carry.
+    sarate must be a power of two (two-word divmod stays bitwise).
+    Returns (r_hi, r_lo, sa_lo, sa_hi, iv_hi, iv_lo)."""
+    from ..ops.idx64 import scatter_set_u32
+    from ..ops.wideocc import lf_step_batch_w
+
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    def outer_body(carry, o):
+        r_hi, r_lo = carry
+        kbase = k0 + o * 256
+
+        def inner(carry, i):
+            r_hi, r_lo = carry
+            k = kbase + i
+            active = k < lens
+            y_hi = jnp.where(active, r_hi, sentinel)
+            y_lo = jnp.where(active, r_lo, sentinel)
+            _sym, h2, l2 = lf_step_batch_w(w, r_hi, r_lo)
+            r_hi = jnp.where(active, h2, r_hi)
+            r_lo = jnp.where(active, l2, r_lo)
+            return (r_hi, r_lo), (y_hi, y_lo)
+
+        return lax.scan(inner, carry, jnp.arange(256, dtype=jnp.int32))
+
+    (r_hi, r_lo), (ys_hi, ys_lo) = lax.scan(
+        outer_body, (r_hi, r_lo), jnp.arange(outer, dtype=jnp.int32))
+    T = r_lo.shape[0]
+    ys_hi = ys_hi.reshape(outer * 256, T)
+    ys_lo = ys_lo.reshape(outer * 256, T)
+    if sarate:          # static: 0 = ISA-only walk, no SA harvest
+        n_sa = sa_lo.shape[0]
+        sh = jnp.uint32(sarate.bit_length() - 1)
+        # rank % sarate == 0 (pow2: low bits of the lo word); idx =
+        # rank >> sh fits uint32 (n < 2^33, sarate >= 4)
+        hit = jnp.logical_and((ys_lo & jnp.uint32(sarate - 1)) == 0,
+                              ys_hi != sentinel)
+        idx = jnp.where(hit,
+                        (ys_hi << (jnp.uint32(32) - sh)) | (ys_lo >> sh),
+                        jnp.uint32(n_sa))
+        # position at each step: p0 - k two-word with borrow; the wrap
+        # lane (p = 0) goes negative -> hi word wraps high -> add n back
+        kmat = (lax.broadcasted_iota(jnp.int32, ys_lo.shape, 0)
+                + k0).astype(jnp.uint32)
+        pm_lo = p_lo[None, :] - kmat
+        pm_hi = p_hi[None, :] - (pm_lo > p_lo[None, :]).astype(jnp.uint32)
+        n_hi = jnp.uint32(n >> 32)
+        n_lo = jnp.uint32(n & 0xFFFFFFFF)
+        neg = jnp.logical_or(
+            pm_hi > n_hi, jnp.logical_and(pm_hi == n_hi, pm_lo >= n_lo))
+        add_lo = pm_lo + n_lo
+        pm_hi = jnp.where(
+            neg, pm_hi + n_hi + (add_lo < pm_lo).astype(jnp.uint32), pm_hi)
+        pm_lo = jnp.where(neg, add_lo, pm_lo)
+        sa_lo = scatter_set_u32(sa_lo, idx, pm_lo)
+        sa_hi = scatter_set_u32(sa_hi, idx, pm_hi)
+    iv_hi = jnp.take_along_axis(ys_hi, isa_idx, axis=0)
+    iv_lo = jnp.take_along_axis(ys_lo, isa_idx, axis=0)
+    return r_hi, r_lo, sa_lo, sa_hi, iv_hi, iv_lo
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _harvest_walk(occt: OccTable, r0: jnp.ndarray, p0: jnp.ndarray,
                   lens: jnp.ndarray, steps: int, n: int,
@@ -108,9 +174,85 @@ def _harvest_walk(occt: OccTable, r0: jnp.ndarray, p0: jnp.ndarray,
     return sa_out, isa_out
 
 
+def _harvest_fused_w(w, ranks, positions, seg_len, n, sarate, isarate):
+    """Wide-rank harvest driver for texts past 2^32 symbols: lanes and
+    harvested values are (hi, lo) uint32 pairs combined to int64 on host.
+    Mirrors _harvest_fused; sarate must be a power of two >= 4 (or >= n
+    to disable SA harvesting — compute_isa_from_preisa)."""
+    T = len(positions)
+    bucket = max(1024, 1 << (T - 1).bit_length())
+    rl_ = np.zeros(bucket, np.uint32)
+    rh_ = np.zeros(bucket, np.uint32)
+    rl_[:T] = (ranks & 0xFFFFFFFF).astype(np.uint32)
+    rh_[:T] = (ranks >> 32).astype(np.uint32)
+    pl_ = np.zeros(bucket, np.uint32)
+    ph_ = np.zeros(bucket, np.uint32)
+    pl_[:T] = (positions & 0xFFFFFFFF).astype(np.uint32)
+    ph_[:T] = (positions >> 32).astype(np.uint32)
+    lens = np.zeros(bucket, np.int32)
+    lens[:T] = seg_len
+    if sarate >= n:
+        k_sa, n_sa = 0, 1          # ISA-only walk
+    else:
+        if sarate < 4 or (sarate & (sarate - 1)):
+            raise ValueError("texts past 2^32 need a power-of-two "
+                             "sa sampling rate >= 4")
+        k_sa = int(sarate)
+        n_sa = (n + sarate - 1) // sarate
+        if n_sa >= (1 << 31):
+            raise ValueError("sampled SA exceeds 2^31 entries; raise "
+                             "sasamplingrate")
+    sa_lo = jnp.full(n_sa, 0xFFFFFFFF, jnp.uint32)
+    sa_hi = jnp.full(n_sa, 0xFFFFFFFF, jnp.uint32)
+    n_isa = (n + isarate - 1) // isarate
+    isa_vals = np.full(n_isa, -1, np.int64)
+    rlj, rhj = jnp.asarray(rl_), jnp.asarray(rh_)
+    plj, phj = jnp.asarray(pl_), jnp.asarray(ph_)
+    lj = jnp.asarray(lens)
+    max_steps = int(seg_len.max())
+    phase = positions % isarate
+    phase = phase.copy()
+    phase[0] = n % isarate
+    isa_vals[0] = int(ranks[0])
+    done = 0
+    while done < max_steps:
+        outer = min(8, (max_steps - done + 255) // 256)
+        chunklen = outer * 256
+        nisa = chunklen // isarate + 1 if isarate <= chunklen else 1
+        ks = ((phase - done) % isarate)[None, :] + \
+            isarate * np.arange(nisa)[:, None]
+        idx = np.zeros((nisa, bucket), np.int32)
+        idx[:, :T] = np.minimum(ks, chunklen - 1)
+        rhj, rlj, sa_lo, sa_hi, ivh, ivl = _harvest_chunk_w(
+            outer, w, rhj, rlj, phj, plj, sa_lo, sa_hi, int(n), k_sa,
+            lj, jnp.int32(done), jnp.asarray(idx))
+        ivh = np.asarray(ivh)[:, :T].astype(np.int64)
+        ivl = np.asarray(ivl)[:, :T].astype(np.int64)
+        iv = (ivh << 32) | ivl
+        kg = ks + done
+        ok = (kg < seg_len[None, :]) & (ks < chunklen) & (kg >= done)
+        pv = (positions[None, :] - kg)[ok] % n
+        vv = iv[ok]
+        good = ivh[ok] != 0xFFFFFFFF
+        isa_vals[pv[good] // isarate] = vv[good]
+        done += chunklen
+    if k_sa:
+        lo = np.asarray(sa_lo).astype(np.int64)
+        hi = np.asarray(sa_hi).astype(np.int64)
+        sa_vals = (hi << 32) | lo
+        sa_vals[hi == 0xFFFFFFFF] = -1
+    else:
+        sa_vals = np.zeros(0, np.int64)
+    return sa_vals, isa_vals
+
+
 def _harvest_fused(focc, ranks, positions, seg_len, n, sarate, isarate):
     """Chunked fused-walk harvest driver. Returns (sa_vals, isa_vals)
     int64 host arrays (-1 where unvisited)."""
+    from ..ops.wideocc import WideOcc
+    if isinstance(focc, WideOcc):
+        return _harvest_fused_w(focc, ranks, positions, seg_len, n,
+                                sarate, isarate)
     T = len(positions)
     bucket = max(1024, 1 << (T - 1).bit_length())
     r = np.zeros(bucket, np.uint32)

@@ -94,23 +94,37 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
     ato = afrom + seg_len
     T = len(positions)
     bucket = max(1024, 1 << (T - 1).bit_length())
+    from ..ops.wideocc import WideOcc
+    wide = isinstance(focc, WideOcc)
     sa = np.zeros(bucket, np.uint32)
-    sa[:T] = aligned.astype(np.uint32)
+    # wide path: lanes address text by absolute ROW (int32, < 2^25 at
+    # 2^33 symbols) and carry (hi, lo) rank words — flat uint32 positions
+    # wrap past 2^32
+    sa[:T] = ((aligned >> 8) if wide else aligned).astype(np.uint32)
     af = np.zeros(bucket, np.int32)
     at = np.zeros(bucket, np.int32)
     af[:T] = afrom
     at[:T] = ato
     r = np.zeros(bucket, np.uint32)
-    r[:T] = ranks.astype(np.uint32)
+    r[:T] = (ranks & 0xFFFFFFFF).astype(np.uint32)
     rj = jnp.asarray(r)
+    if wide:
+        rh = np.zeros(bucket, np.uint32)
+        rh[:T] = (ranks >> 32).astype(np.uint32)
+        rhj = jnp.asarray(rh)
     bad = jnp.zeros(bucket, jnp.int32)
     saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
     max_steps = int(ato.max())
     done = 0
     while done < max_steps:
         outer = min(8, (max_steps - done + 255) // 256)
-        rj, bad = _verify_chunk(outer, focc, text_rows, saj, afj, atj,
-                                rj, bad, jnp.int32(done))
+        if wide:
+            rhj, rj, bad = _verify_chunk_w(
+                outer, focc, text_rows, saj, afj, atj, rhj, rj, bad,
+                jnp.int32(done))
+        else:
+            rj, bad = _verify_chunk(outer, focc, text_rows, saj, afj, atj,
+                                    rj, bad, jnp.int32(done))
         done += outer * 256
     total_bad = int(np.asarray(jnp.sum(bad)))
     log.v("checkbwt: %d mismatches over n=%d" % (total_bad, n))
@@ -171,6 +185,50 @@ def _verify_chunk(outer: int, focc, text_rows, starts_al, afrom, ato,
     (r, bad), _ = lax.scan(outer_body, (r, bad),
                            jnp.arange(outer, dtype=jnp.int32))
     return r, bad
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(6, 7, 8))
+def _verify_chunk_w(outer: int, w, text_rows, start_rows, afrom, ato,
+                    r_hi, r_lo, bad, k0):
+    """Wide-rank verify chunk for texts past 2^32 symbols: lanes carry
+    (hi, lo) uint32 rank words through ops/wideocc.lf_step_batch_w, and
+    the text window row is addressed relative to the lane's absolute
+    start row (start_rows int32)."""
+    from ..ops.wideocc import lf_step_batch_w
+
+    def outer_body(carry, o):
+        r_hi, r_lo, bad = carry
+        kbase = k0 + o * 256
+        prow = start_rows.astype(jnp.int32) - (kbase >> 8)
+        trow = jnp.take(
+            text_rows, jnp.minimum(jnp.maximum(prow, 0),
+                                   text_rows.shape[0] - 1), axis=0)
+
+        def inner(i, carry):
+            r_hi, r_lo, bad = carry
+            k = kbase + i
+            active = jnp.logical_and(k >= afrom, k < ato)
+            sym, h2, l2 = lf_step_batch_w(w, r_hi, r_lo)
+            col = 255 - i
+            if trow.shape[1] == 128:
+                byte = lax.dynamic_slice_in_dim(
+                    trow, col >> 1, 1, axis=1)[:, 0].astype(jnp.int32) & 0xFF
+                expect = (byte >> ((col & 1) * 4)) & 0xF
+            else:
+                expect = lax.dynamic_slice_in_dim(
+                    trow, col, 1, axis=1)[:, 0].astype(jnp.int32) & 0xFF
+            bad = bad + jnp.logical_and(
+                active, sym != expect).astype(jnp.int32)
+            r_hi = jnp.where(active, h2, r_hi)
+            r_lo = jnp.where(active, l2, r_lo)
+            return (r_hi, r_lo, bad)
+
+        carry = lax.fori_loop(0, 256, inner, (r_hi, r_lo, bad))
+        return carry, 0
+
+    (r_hi, r_lo, bad), _ = lax.scan(
+        outer_body, (r_hi, r_lo, bad), jnp.arange(outer, dtype=jnp.int32))
+    return r_hi, r_lo, bad
 
 
 def _check_bwt_legacy(result: BwtResult, text: np.ndarray,

@@ -161,18 +161,18 @@ def rl_decode_u8(path: str, n: int):
     return out[:n]
 
 
-def cmp_rot(dbl_text: np.ndarray, n: int, e: int, xs: np.ndarray,
+def cmp_rot(text: np.ndarray, n: int, e: int, xs: np.ndarray,
             nthreads: int = 4) -> Optional[np.ndarray]:
     """Three-way circular compare sign(rot(x) - rot(e)) for each x in xs.
-    dbl_text: the text doubled (uint8, 2n bytes). Returns int8 [len(xs)]
-    or None without the native lib."""
+    text: the plain uint8 text (n bytes; spans wrap modularly in C).
+    Returns int8 [len(xs)] or None without the native lib."""
     lib = get_lib()
     if lib is None:
         return None
     xs = np.ascontiguousarray(xs, dtype=np.int64)
     out = np.zeros(max(1, len(xs)), dtype=np.int8)
     if len(xs):
-        lib.c_cmp_rot(np.ascontiguousarray(dbl_text, np.uint8), n, e,
+        lib.c_cmp_rot(np.ascontiguousarray(text, np.uint8), n, e,
                       xs, len(xs), nthreads, out)
     return out[: len(xs)]
 

@@ -328,24 +328,30 @@ extern "C" {
 // infinite repetition of text starting at p; equal after n symbols -> 0.
 // This is the gt-bitvector oracle of the gap recurrence (SURVEY.md
 // hard-part 3) evaluated only for the positions the chains can consult.
-// `dbl` must be text doubled (2n bytes) so spans never wrap.
-static void cmp_rot_range(const uint8_t* dbl, int64_t n, int64_t e,
+// `text` is the plain n-byte text: spans compare through chunks clipped
+// at each side's wrap point (the doubled-copy variant cost 2n extra host
+// bytes — 6.4 GB at the 3.2 Gbp flagship; VERDICT r2 weak #7).
+static void cmp_rot_range(const uint8_t* text, int64_t n, int64_t e,
                           const int64_t* xs, int64_t b0, int64_t b1,
                           int8_t* out) {
-  const uint8_t* pe = dbl + e;
   for (int64_t j = b0; j < b1; ++j) {
-    const uint8_t* px = dbl + xs[j];
+    int64_t ox = xs[j] % n;
+    int64_t oe = e;
     int64_t l = 0;
     int8_t r = 0;
     while (l < n) {
       int64_t chunk = n - l < 4096 ? n - l : 4096;
-      if (std::memcmp(px + l, pe + l, (size_t)chunk) == 0) {
+      if (n - ox < chunk) chunk = n - ox;
+      if (n - oe < chunk) chunk = n - oe;
+      if (std::memcmp(text + ox, text + oe, (size_t)chunk) == 0) {
         l += chunk;
+        ox += chunk; if (ox == n) ox = 0;
+        oe += chunk; if (oe == n) oe = 0;
         continue;
       }
       for (int64_t t = 0;; ++t) {
-        if (px[l + t] != pe[l + t]) {
-          r = px[l + t] < pe[l + t] ? -1 : 1;
+        if (text[ox + t] != text[oe + t]) {
+          r = text[ox + t] < text[oe + t] ? -1 : 1;
           break;
         }
       }
@@ -355,10 +361,10 @@ static void cmp_rot_range(const uint8_t* dbl, int64_t n, int64_t e,
   }
 }
 
-void c_cmp_rot(const uint8_t* dbl, int64_t n, int64_t e, const int64_t* xs,
+void c_cmp_rot(const uint8_t* text, int64_t n, int64_t e, const int64_t* xs,
                int64_t nx, int64_t nthreads, int8_t* out) {
   if (nthreads <= 1 || nx < 4096) {
-    cmp_rot_range(dbl, n, e, xs, 0, nx, out);
+    cmp_rot_range(text, n, e, xs, 0, nx, out);
     return;
   }
   std::vector<std::thread> ths;
@@ -366,7 +372,7 @@ void c_cmp_rot(const uint8_t* dbl, int64_t n, int64_t e, const int64_t* xs,
   for (int64_t t = 0; t < nthreads; ++t) {
     int64_t b0 = t * per, b1 = b0 + per < nx ? b0 + per : nx;
     if (b0 >= b1) break;
-    ths.emplace_back(cmp_rot_range, dbl, n, e, xs, b0, b1, out);
+    ths.emplace_back(cmp_rot_range, text, n, e, xs, b0, b1, out);
   }
   for (auto& th : ths) th.join();
 }

@@ -243,21 +243,20 @@ class DeviceGapRunner:
     of left block [s, m) into right region M = [m, e).
 
     The caller provides the engine-wide device text rows and host text
-    (uint8, plus its doubled copy for the native comparator).  ``compute``
+    (uint8; the native comparator wraps spans modularly).  ``compute``
     runs anchoring + chains and leaves the gap histogram on device;
     ``fetch_gap_compressed`` returns the byte-compressed histogram for the
     host interleave; ``cnt_le_at_host`` serves the right-side sample updates from the fetched compressed histogram.
     """
 
     def __init__(self, focc: FusedOcc, text_rows, text_host: np.ndarray,
-                 dbl_text: Optional[np.ndarray], s: int, m: int, e: int,
+                 s: int, m: int, e: int,
                  isa_m: int, first_hist: np.ndarray,
                  lane_bucket: int = 1 << 16, sample_rate: int = 0,
                  nthreads: int = 4, log=None, gap_dtype=None):
         self.focc = focc
         self.text_rows = text_rows
         self.text = text_host
-        self.dbl = dbl_text
         self.n = len(text_host)
         self.s, self.m, self.e = int(s), int(m), int(e)
         self.isa_m = int(isa_m)
@@ -307,8 +306,8 @@ class DeviceGapRunner:
         xs = ps + 1  # the recurrence consults gt[p + 1]
         if len(xs):
             from .. import native
-            bits = native.cmp_rot(self.dbl, self.n, self.e % self.n, xs,
-                                  self.nthreads) if self.dbl is not None else None
+            bits = native.cmp_rot(self.text, self.n, self.e % self.n, xs,
+                                  self.nthreads)
             if bits is not None:
                 gt = (bits > 0).astype(np.uint8)
             else:

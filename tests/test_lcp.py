@@ -83,3 +83,24 @@ def test_plcp_scaled_matches_oracle():
         plcp, sa = compute_plcp_scaled(text, 4, lanes=128)
         ref = kasai_plcp(text, sa)
         assert np.array_equal(plcp, ref), n
+
+
+def test_plcp_scaled_slab_striping():
+    # host-staged position slabs (device holds one slab of phi/isa/plcp +
+    # the global text rows) must reproduce the single-slab result; also
+    # exercises the precomputed (sa, isa) input that skips the doubling
+    # sort at reference scale
+    import numpy as np
+    from bwtb3m_tpu.lcp.plcp import compute_plcp_scaled, kasai_plcp
+    rng = np.random.default_rng(31)
+    n = 7001
+    text = rng.integers(0, 4, n).astype(np.int32)
+    plcp, sa = compute_plcp_scaled(text, 4, lanes=64, slab_positions=1024)
+    ref = kasai_plcp(text, sa)
+    assert np.array_equal(plcp, ref)
+    # precomputed sa/isa path
+    isa = np.zeros(n, np.int64)
+    isa[sa] = np.arange(n)
+    plcp2, _ = compute_plcp_scaled(text, 4, lanes=64, sa_isa=(sa, isa),
+                                   slab_positions=2048)
+    assert np.array_equal(plcp2, ref)

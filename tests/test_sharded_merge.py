@@ -23,12 +23,11 @@ def test_sharded_chains_match_single_device():
     focc = build_focc(upload_bwt(right_bwt, 4), 4)
     isa_m = int(np.flatnonzero(sel == m)[0])
     trows = build_text_rows(text)
-    dbl = np.concatenate([text, text])
     hist = np.bincount(text[m:], minlength=4).astype(np.int64)
 
     def mkrunner(bucket):
         return DeviceGapRunner(
-            focc, trows, text, dbl, 0, m, n, isa_m, hist,
+            focc, trows, text, 0, m, n, isa_m, hist,
             lane_bucket=bucket, sample_rate=0)
 
     T = 16

@@ -148,3 +148,74 @@ def test_row_of_arithmetic():
     lo = (pos & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     row = np.asarray(row_of(jnp.asarray(hi), jnp.asarray(lo)))
     assert np.array_equal(row.astype(np.int64), (pos >> np.uint64(8)))
+
+
+def test_check_bwt_wide_kernel(tmp_path, monkeypatch):
+    # BWTB3M_FORCE_WIDE drives check_bwt through the (hi, lo) wide walk
+    # kernel (_verify_chunk_w) on a small text: hi words are all zero, so
+    # the result must match the narrow path — including catching a
+    # corrupted BWT. (The wrap arithmetic itself is pinned by the
+    # straddle tests above; this pins the engine plumbing.)
+    from bwtb3m_tpu.engine import BwtOptions, check_bwt, compute_bwt
+    from bwtb3m_tpu.io import rl
+
+    rng = np.random.default_rng(17)
+    data = bytes(rng.integers(97, 102, size=4096, dtype=np.uint8))
+    inp = str(tmp_path / "t.bin")
+    open(inp, "wb").write(data)
+    res = compute_bwt(BwtOptions(input_path=inp, preisa_sampling_rate=256,
+                                 verbose=0))
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    monkeypatch.setenv("BWTB3M_FORCE_WIDE", "1")
+    from bwtb3m_tpu.ops.wideocc import WideOcc
+    focc, _ = res.load_focc(dense=True)
+    assert isinstance(focc, WideOcc)
+    assert check_bwt(res, text)
+    bwt = res.load_bwt()
+    i = int(np.flatnonzero(bwt[1:] != bwt[:-1])[0])
+    bwt[i], bwt[i + 1] = bwt[i + 1], bwt[i]
+    rl.rl_encode(res.bwt_path, bwt, sigma=res.sigma)
+    assert not check_bwt(res, text)
+
+
+def test_compute_ssa_wide_kernel(tmp_path, monkeypatch):
+    # the wide harvest (two-word lanes, borrow/carry position math, split
+    # sa planes) must reproduce the narrow path's .sa/.isa exactly
+    from bwtb3m_tpu.engine import BwtOptions, compute_bwt, compute_ssa
+    from bwtb3m_tpu.io import formats
+
+    rng = np.random.default_rng(23)
+    data = bytes(rng.integers(97, 101, size=8192, dtype=np.uint8))
+    inp = str(tmp_path / "t.bin")
+    open(inp, "wb").write(data)
+    res = compute_bwt(BwtOptions(input_path=inp, bwt_only=True,
+                                 preisa_sampling_rate=512, verbose=0))
+    sa_n, isa_n = compute_ssa(res.bwt_path, 32, 64)
+    rate_sa, vals_sa = formats.read_sampled_array(sa_n)
+    rate_isa, vals_isa = formats.read_sampled_array(isa_n)
+    monkeypatch.setenv("BWTB3M_FORCE_WIDE", "1")
+    sa_w, isa_w = compute_ssa(res.bwt_path, 32, 64)
+    rate_sa2, vals_sa2 = formats.read_sampled_array(sa_w)
+    rate_isa2, vals_isa2 = formats.read_sampled_array(isa_w)
+    assert rate_sa2 == rate_sa and rate_isa2 == rate_isa
+    assert np.array_equal(vals_sa2, vals_sa)
+    assert np.array_equal(vals_isa2, vals_isa)
+
+
+def test_compute_isa_wide_kernel(tmp_path, monkeypatch):
+    from bwtb3m_tpu.engine import BwtOptions, compute_bwt
+    from bwtb3m_tpu.engine.ssa import compute_isa_from_preisa
+    from bwtb3m_tpu.io import formats
+
+    rng = np.random.default_rng(29)
+    data = bytes(rng.integers(97, 103, size=5000, dtype=np.uint8))
+    inp = str(tmp_path / "t.bin")
+    open(inp, "wb").write(data)
+    res = compute_bwt(BwtOptions(input_path=inp, bwt_only=True,
+                                 preisa_sampling_rate=256, verbose=0))
+    isa_n = compute_isa_from_preisa(res.bwt_path, 64)
+    _r, vals_n = formats.read_sampled_array(isa_n)
+    monkeypatch.setenv("BWTB3M_FORCE_WIDE", "1")
+    isa_w = compute_isa_from_preisa(res.bwt_path, 64)
+    _r, vals_w = formats.read_sampled_array(isa_w)
+    assert np.array_equal(vals_w, vals_n)
