@@ -359,21 +359,32 @@ def _interleave_fallback(gap8, ov_idx, ov_val, left, right):
 
 def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
                        anchor_lookback: int = 64) -> _RegionS:
+    import time as _time
     from .. import native
     s, m, e = left.s, left.e, right.e
     assert right.s == m
     block_len = m - s
     log = ctx.log
+    _t = _time.time()
+    _ph = {}
+
+    def _mark(name):
+        nonlocal _t
+        now = _time.time()
+        _ph[name] = _ph.get(name, 0.0) + (now - _t)
+        _t = now
 
     # chunked host->device build: O(chunk) transients (the monolithic
     # builder's 4 B/symbol int32 staging would exceed HBM at Gbp-scale
     # root merges) and no flat device array
     focc = build_focc_host(right.bwt, ctx.sigma)
+    _mark("focc")
     runner = DeviceGapRunner(
         focc, ctx.text_rows, ctx.text, s, m, e,
         isa_m=right.r_start, first_hist=right.hist,
         lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
         nthreads=ctx.nthreads, log=log)
+    _mark("init")
 
     # segment plan: T lanes over [s, m)
     T = max(1, min(ctx.lane_bucket, block_len // 64 or 1))
@@ -397,6 +408,7 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
             if len(todo):
                 log.v("anchor lookback extended to %d for %d lanes"
                       % (lb, len(todo)))
+    _mark("anchor")
 
     if ctx.mesh is not None:
         # multi-chip intra-pair path: chain lanes sharded over the mesh
@@ -418,6 +430,7 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
                   "int32 histogram" % (total, block_len))
             runner.run_chains(starts, seeds, lens, force_int32=True)
             total = runner.gap_checksum()
+    _mark("chains")
     assert total == block_len, (total, block_len)
     # chain self-check: every lane's final R(bounds[j]) must equal the
     # anchor-provided seed of the lane to its left (exact because resolved
@@ -431,10 +444,12 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
                 % (bad + 1, runner.final_rs[bad + 1], seeds[bad]))
 
     gap8, ov_idx, ov_val = runner.fetch_gap_compressed()
+    _mark("gapfetch")
     merged = native.gap_interleave(gap8, ov_idx, ov_val, left.bwt, right.bwt)
     if merged is None:
         merged = _interleave_fallback(gap8, ov_idx, ov_val, left.bwt,
                                       right.bwt)
+    _mark("zip")
 
     # sample updates
     hpos, hval = runner.harvest_samples()
@@ -449,6 +464,9 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
     rank = np.concatenate([new_left_rank, new_right_rank])
     order = np.argsort(pos)
     r_start = int(left.r_start + runner.final_rs[0])
+    _mark("samples")
+    log.v("merge [%d,%d,%d): " % (s, m, e) + " ".join(
+        "%s=%.2fs" % kv for kv in sorted(_ph.items(), key=lambda x: -x[1])))
 
     return _RegionS(s, e, merged, pos[order], rank[order], r_start,
                     left.hist + right.hist)

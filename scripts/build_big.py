@@ -68,6 +68,14 @@ def main():
     stats["checkbwt_s"] = round(time.time() - t0, 1)
     stats["checkbwt_ok"] = bool(ok)
     log.v("checkbwt: ok=%s in %.1fs" % (ok, stats["checkbwt_s"]))
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    stats["peak_rss_gb"] = round(
+                        int(line.split()[1]) / 1024 / 1024, 2)
+    except OSError:
+        pass
     print(json.dumps(stats))
     if not ok:
         sys.exit(1)
