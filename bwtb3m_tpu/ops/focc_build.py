@@ -32,7 +32,6 @@ wider texts get the threshold-based hi word, ops/wideocc.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

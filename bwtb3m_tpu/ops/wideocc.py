@@ -30,16 +30,13 @@ CPU tests.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax, tree_util
 
-from .focc import FusedOcc, _gather_rows, _inblock_count, _occ_base, \
-    _symbol_at
+from .focc import FusedOcc, _inblock_count, _occ_base, _symbol_at
 from .focc_bp import (NPLANES, FusedOccBP, _inblock_bp, _occ_base_bp,
                       _symbol_at_bp)
 

@@ -1,0 +1,113 @@
+"""lcpbit at reference scale — PLCP of a >=400 Mbp text on one chip.
+
+Pipeline: synth pacterm DNA -> scaled merge-engine BWT (bwtonly) ->
+rate-1 LF walk for the full SA/ISA (bwtcomputessa machinery; no doubling
+sort, so device memory stays bounded) -> slab-striped batched-Kasai PLCP
+(lcp/plcp.py) -> .lcpbit + native Phi/Kasai spot verification.
+
+The reference's lcpbit is external-memory unbounded
+(/root/reference/src/lcpbit.cpp:2371-2850); this is the TPU-shaped run
+VERDICT r2 asked to record (next-round item 8).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_plcp.py \
+           [Mbp] [workdir]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    mbp = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    work = sys.argv[2] if len(sys.argv) > 2 else "/root/bigbuild"
+    os.makedirs(work, exist_ok=True)
+    n = mbp * 1000 * 1000
+
+    from bwtb3m_tpu.engine import BwtOptions, compute_bwt, compute_ssa
+    from bwtb3m_tpu.io import formats
+    from bwtb3m_tpu.io.inputtypes import parse_input_type
+    from bwtb3m_tpu.lcp.plcp import (compute_plcp_scaled, write_plcp_file,
+                                     PLCPBitDecoder)
+    from bwtb3m_tpu.util.log import VerboseLog
+
+    log = VerboseLog(1)
+    pac = os.path.join(work, "t%dm.pac" % mbp)
+    if not os.path.exists(pac):
+        rng = np.random.default_rng(42)
+        nb = n - 1
+        payload = rng.integers(0, 256, (nb + 3) // 4, dtype=np.uint8)
+        with open(pac, "wb") as f:
+            f.write(payload.tobytes())
+            if nb % 4 == 0:
+                f.write(b"\x00")
+            f.write(bytes([nb % 4]))
+        del payload
+
+    stats = {"n": n}
+    bwt_path = os.path.join(work, "t%dm.bwt" % mbp)
+    if not os.path.exists(bwt_path[:-4] + ".meta"):
+        t0 = time.time()
+        compute_bwt(BwtOptions(
+            input_path=pac, input_type="pacterm", output_filename=bwt_path,
+            engine="merge", bwt_only=True,
+            max_block_symbols=128 * 1000 * 1000, verbose=1))
+        stats["build_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    sa_path, isa_path = compute_ssa(bwt_path, 1, 1, log=log)
+    stats["ssa_rate1_s"] = round(time.time() - t0, 1)
+    log.v("rate-1 SA/ISA walk: %.1fs" % stats["ssa_rate1_s"])
+
+    _r, sa = formats.read_sampled_array(sa_path)
+    _r, isa = formats.read_sampled_array(isa_path)
+    text, sigma = parse_input_type("pacterm").load(pac)
+    t0 = time.time()
+    plcp, _sa = compute_plcp_scaled(
+        text.astype(np.int32), sigma, sa_isa=(sa, isa))
+    stats["plcp_s"] = round(time.time() - t0, 1)
+    log.v("slab-striped PLCP: %.1fs (%.1f Mbp/s)"
+          % (stats["plcp_s"], n / 1e6 / stats["plcp_s"]))
+
+    t0 = time.time()
+    out = os.path.join(work, "t%dm.lcpbit" % mbp)
+    write_plcp_file(out, plcp)
+    stats["write_s"] = round(time.time() - t0, 1)
+
+    # verification: native Phi/Kasai oracle on a position sample (full
+    # O(n^2)-free check; the oracle walk is O(n) total but host-serial,
+    # so verify a dense random sample re-read from the .lcpbit file)
+    dec = PLCPBitDecoder(out, n=n)
+    rng = np.random.default_rng(1)
+    idx = np.sort(rng.integers(0, n, 2_000_000))
+    got = dec.all()[idx]
+    ok = bool(np.array_equal(got, plcp[idx]))
+    # independent spot oracle: direct circular extension at 2k positions
+    sp = rng.integers(1, n, 2000)
+    isa_np = np.asarray(isa)
+    sa_np = np.asarray(sa)
+    bad = 0
+    for p in sp:
+        r = isa_np[p]
+        if r == 0:
+            want = 0
+        else:
+            q = sa_np[r - 1]
+            l = 0
+            while l < n and text[(p + l) % n] == text[(q + l) % n]:
+                l += 1
+            want = l
+        if plcp[p] != want:
+            bad += 1
+    stats["verify_ok"] = bool(ok and bad == 0)
+    stats["spot_bad"] = bad
+    print(json.dumps(stats))
+    if not stats["verify_ok"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
