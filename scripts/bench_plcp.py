@@ -58,12 +58,16 @@ def main():
         stats["build_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    sa_path, isa_path = compute_ssa(bwt_path, 1, 1, log=log)
+    # rate-1 SA via the LF walk; ISA rate above n (single entry) — the
+    # full ISA is just the inverse permutation of the full SA, inverted
+    # on host instead of harvesting every step's rank through the relay
+    sa_path, _isa_path = compute_ssa(bwt_path, 1, 1 << 40, log=log)
     stats["ssa_rate1_s"] = round(time.time() - t0, 1)
-    log.v("rate-1 SA/ISA walk: %.1fs" % stats["ssa_rate1_s"])
+    log.v("rate-1 SA walk: %.1fs" % stats["ssa_rate1_s"])
 
     _r, sa = formats.read_sampled_array(sa_path)
-    _r, isa = formats.read_sampled_array(isa_path)
+    isa = np.zeros(n, np.int64)
+    isa[sa] = np.arange(n, dtype=np.int64)
     text, sigma = parse_input_type("pacterm").load(pac)
     t0 = time.time()
     plcp, _sa = compute_plcp_scaled(
