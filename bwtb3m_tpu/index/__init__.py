@@ -4,6 +4,7 @@ from .wavelet import HuffmanWaveletTree, RLHuffmanWaveletTree
 from .dnarank import DNARank
 from .sampled import SampledSA, SampledISA
 from .fm import FMIndex
+from .cst import CompressedSuffixTree
 
 __all__ = [
     "RankBitVector",
@@ -15,4 +16,5 @@ __all__ = [
     "SampledSA",
     "SampledISA",
     "FMIndex",
+    "CompressedSuffixTree",
 ]
