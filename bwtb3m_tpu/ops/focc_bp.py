@@ -206,6 +206,50 @@ def lf_step_batch_bp(focc: FusedOccBP, r: jnp.ndarray
     return sym, r2
 
 
+def lf_step_words_fused(focc: FusedOccBP, words: jnp.ndarray,
+                        off: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extended LF from pre-gathered row words in exactly TWO reduction
+    stages (the data-dependence minimum: symbol bits, then one combined
+    sum) instead of the four of the naive composition — the per-iteration
+    kernel count is the walk-loop floor (BENCH.md: batched gathers are
+    per-element-bound; everything else is fixed per-kernel overhead).
+
+    Stage 1: sym bits b_j = plane_j[off>>5] >> (off&31) & 1, all planes
+    via one [B, NPLANES, 8] masked reduce.  Stage 2:
+    r2 = C[sym] + occ[sym] + popcount(match & prefix)
+    with the C and occ selects sharing one mask (same [B, sigma] columns)
+    and the 8 popcount words adding into the same sum."""
+    sigma = focc.sigma
+    B = off.shape[0]
+    planes = words[:, : NPLANES * 8].reshape(-1, NPLANES, 8)
+    w = (off >> jnp.uint32(5)).astype(jnp.int32)
+    colw = lax.broadcasted_iota(jnp.int32, (B, 1, 8), 2)
+    pw = jnp.sum(jnp.where(colw == w[:, None, None], planes,
+                           jnp.uint32(0)), axis=2)        # [B, NPLANES]
+    bits = (pw >> (off & jnp.uint32(31))[:, None]) & 1    # [B, NPLANES]
+    sh = lax.broadcasted_iota(jnp.uint32, (1, NPLANES), 1)
+    sym = jnp.sum(bits << sh, axis=1).astype(jnp.int32)   # reduce #1
+
+    e = (bits - jnp.uint32(1))[:, :, None]                # ~0 iff bit 0
+    m = planes ^ e
+    m = (m[:, 0, :] & m[:, 1, :] & m[:, 2, :]) & _prefix_mask(off)
+    pc = lax.population_count(m)                          # [B, 8]
+    occw = words[:, NPLANES * 8 : NPLANES * 8 + sigma]
+    ctab = jnp.broadcast_to(focc.C[None, :sigma], (B, sigma))
+    cols = lax.broadcasted_iota(jnp.int32, (B, sigma), 1)
+    sel = jnp.where(cols == sym[:, None], occw + ctab, jnp.uint32(0))
+    r2 = jnp.sum(jnp.concatenate([pc, sel], axis=1), axis=1)  # reduce #2
+    return sym, r2
+
+
+def lf_step_batch_bp2(focc: FusedOccBP, r: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lf_step_batch_bp with the two-stage fused arithmetic."""
+    words, off = _gather_words(focc, r.astype(jnp.uint32))
+    return lf_step_words_fused(focc, words, off)
+
+
 def backward_step_bp(focc: FusedOccBP, c: jnp.ndarray, lo: jnp.ndarray,
                      hi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     csel = _select_c_bp(focc, c)

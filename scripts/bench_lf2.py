@@ -26,7 +26,7 @@ def main():
 
     from bwtb3m_tpu.ops.focc import BLOCK, _build_focc_jax, _pad_rows
     from bwtb3m_tpu.ops.focc import lf_step_batch_f
-    from bwtb3m_tpu.ops.focc_bp import build_focc_bp
+    from bwtb3m_tpu.ops.focc_bp import build_focc_bp, lf_step_batch_bp2
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 22
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -40,22 +40,27 @@ def main():
         "bit-plane": build_focc_bp(jnp.asarray(bwt), sigma),
     }
 
-    @partial(jax.jit, static_argnums=(1,))
-    def walk(focc, steps, r0):
+    structs["bp-fused2"] = structs["bit-plane"]
+
+    @partial(jax.jit, static_argnums=(1, 3))
+    def walk(focc, steps, r0, fused2=False):
+        step = lf_step_batch_bp2 if fused2 else lf_step_batch_f
+
         def body(i, r):
-            _s, r2 = lf_step_batch_f(focc, r)
+            _s, r2 = step(focc, r)
             return r2
         return jnp.sum(lax.fori_loop(0, steps, body, r0))
 
     for name, focc in structs.items():
+        fused2 = name == "bp-fused2"
         b = 1 << 14
         while b <= (1 << 19):
             r0 = jnp.asarray(rng.integers(0, n, b).astype(np.uint32))
-            int(walk(focc, steps, r0))   # compile + warm
+            int(walk(focc, steps, r0, fused2))   # compile + warm
             times = []
             for _ in range(3):
                 t0 = time.time()
-                int(walk(focc, steps, r0))
+                int(walk(focc, steps, r0, fused2))
                 times.append(time.time() - t0)
             dt = min(times)
             print("%-9s lanes=%-7d steps=%d  %.4fs  %.3e LF-steps/s"

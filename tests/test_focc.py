@@ -108,3 +108,21 @@ def test_focc_bitplane_vs_byterow():
         l2, h2 = backward_step_bp(bp, cs, lo, hi)
         assert np.array_equal(np.asarray(l1), np.asarray(l2))
         assert np.array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_lf_step_fused_two_stage_matches():
+    # lf_step_batch_bp2 (two-reduction fused arithmetic) must equal the
+    # naive composition on every rank
+    import numpy as np
+    from bwtb3m_tpu.ops.focc_bp import (build_focc_bp, lf_step_batch_bp,
+                                        lf_step_batch_bp2)
+    rng = np.random.default_rng(41)
+    for sigma in (2, 5, 8):
+        n = 70_000 + sigma
+        bwt = rng.integers(0, sigma, n).astype(np.int32)
+        focc = build_focc_bp(jnp.asarray(bwt), sigma)
+        r = jnp.asarray(rng.integers(0, n, 4096).astype(np.uint32))
+        s1, r1 = lf_step_batch_bp(focc, r)
+        s2, r2 = lf_step_batch_bp2(focc, r)
+        assert np.array_equal(np.asarray(s1), np.asarray(s2))
+        assert np.array_equal(np.asarray(r1), np.asarray(r2))
