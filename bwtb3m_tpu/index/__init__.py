@@ -5,6 +5,7 @@ from .dnarank import DNARank
 from .sampled import SampledSA, SampledISA
 from .fm import FMIndex
 from .cst import CompressedSuffixTree
+from .bidir import BidirectionalFMIndex
 
 __all__ = [
     "RankBitVector",
@@ -17,4 +18,5 @@ __all__ = [
     "SampledISA",
     "FMIndex",
     "CompressedSuffixTree",
+    "BidirectionalFMIndex",
 ]

@@ -255,3 +255,24 @@ def backward_step_bp(focc: FusedOccBP, c: jnp.ndarray, lo: jnp.ndarray,
     csel = _select_c_bp(focc, c)
     return (csel + rank_batch_bp(focc, c, lo),
             csel + rank_batch_bp(focc, c, hi))
+
+
+def rank_all_batch_bp(focc: FusedOccBP, i: jnp.ndarray) -> jnp.ndarray:
+    """[B, sigma] uint32: occ_c(i[j]) for EVERY symbol from the same one
+    row gather — the checkpoint words carry all sigma bases and the
+    in-block counts come from sigma match-word popcounts over the same
+    plane words. This powers the bidirectional index's smaller-symbol
+    prefix sums (one gather instead of sigma)."""
+    sigma = focc.sigma
+    words, off = _gather_words(focc, i.astype(jnp.uint32))
+    occw = words[:, NPLANES * 8 : NPLANES * 8 + sigma]    # [B, sigma]
+    planes = words[:, : NPLANES * 8].reshape(-1, 1, NPLANES, 8)
+    cbits = (lax.broadcasted_iota(jnp.uint32, (1, sigma, NPLANES, 1), 1)
+             >> lax.broadcasted_iota(jnp.uint32, (1, sigma, NPLANES, 1), 2)
+             ) & 1
+    e = cbits - jnp.uint32(1)                  # ~0 where symbol bit == 0
+    m = planes ^ e                             # [B, sigma, NPLANES, 8]
+    m = m[:, :, 0, :] & m[:, :, 1, :] & m[:, :, 2, :]
+    m = m & _prefix_mask(off)[:, None, :]
+    inblk = jnp.sum(lax.population_count(m), axis=2)      # [B, sigma]
+    return occw + inblk
