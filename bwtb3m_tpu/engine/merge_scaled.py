@@ -445,6 +445,19 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
 
     gap8, ov_idx, ov_val = runner.fetch_gap_compressed()
     _mark("gapfetch")
+    out = _finish_merge(left, right, runner, gap8, ov_idx, ov_val, _mark)
+    log.v("merge [%d,%d,%d): " % (s, m, e) + " ".join(
+        "%s=%.2fs" % kv for kv in sorted(_ph.items(), key=lambda x: -x[1])))
+    return out
+
+
+def _finish_merge(left: _RegionS, right: _RegionS, runner, gap8, ov_idx,
+                  ov_val, _mark=lambda name: None) -> _RegionS:
+    """Host tail of one pair merge from its fetched gap: zip the two BWTs
+    and update the preisa samples.  ``runner`` is a DeviceGapRunner or a
+    BatchedGapRunner view — both expose final_rs / harvest_samples /
+    cnt_le_at_host."""
+    from .. import native
     merged = native.gap_interleave(gap8, ov_idx, ov_val, left.bwt, right.bwt)
     if merged is None:
         merged = _interleave_fallback(gap8, ov_idx, ov_val, left.bwt,
@@ -465,11 +478,66 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
     order = np.argsort(pos)
     r_start = int(left.r_start + runner.final_rs[0])
     _mark("samples")
-    log.v("merge [%d,%d,%d): " % (s, m, e) + " ".join(
-        "%s=%.2fs" % kv for kv in sorted(_ph.items(), key=lambda x: -x[1])))
+    return _RegionS(left.s, right.e, merged, pos[order], rank[order],
+                    r_start, left.hist + right.hist)
 
-    return _RegionS(s, e, merged, pos[order], rank[order], r_start,
-                    left.hist + right.hist)
+
+def _level_fits_batched(ctx: _Ctx, pairs) -> bool:
+    """Gate for the batched-level path: combined device state (concat
+    rank rows + u16 histogram + full-span gt) must fit alongside the
+    engine-wide text rows, the level rank space must stay uint32, and
+    the row space must leave the scatter sentinel out of range."""
+    from ..ops.gapbatch import concat_bytes_estimate
+    right_lens = [r.e - r.s for _l, r in pairs]
+    left_total = sum(l.e - l.s for l, _r in pairs)
+    total_rows = sum((ln + 255) // 256 + 1 for ln in right_lens)
+    if total_rows + 2 > (1 << 24) - 1:
+        return False
+    budget = int(os.environ.get("BWTB3M_BATCH_HBM", 11 * 10 ** 9))
+    text_b = ctx.text_rows.size if hasattr(ctx.text_rows, "size") else 0
+    return concat_bytes_estimate(right_lens, left_total, ctx.sigma) \
+        <= budget - int(text_b)
+
+
+def _merge_level_batched(ctx: _Ctx, level, stop_file: str, done: int,
+                         total: int):
+    """All pair merges of one tree level in shared device dispatches
+    (ops/gapbatch.py); an odd trailing region is carried unchanged.
+    Falls back to the per-pair path for a merge whose u16 histogram
+    wrapped (checksum certifies the batch result otherwise)."""
+    import time as _time
+    from ..ops.gapbatch import BatchedGapRunner
+    if os.path.exists(stop_file):
+        raise RuntimeError("stop requested via %s after %d/%d merges"
+                           % (stop_file, done, total))
+    pairs = [(level[i], level[i + 1]) for i in range(0, len(level) - 1, 2)]
+    carried = [level[-1]] if len(level) % 2 else []
+    t0 = _time.time()
+    runner = BatchedGapRunner(
+        ctx.text_rows, ctx.text, ctx.sigma,
+        [(l.s, l.e, r.e, r.bwt, r.r_start, r.hist) for l, r in pairs],
+        lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
+        nthreads=ctx.nthreads, log=ctx.log)
+    runner.compute([r.r_start for _l, r in pairs])
+    ctx.log.v("batched level: %d merges, device phases %.2fs"
+              % (len(pairs), _time.time() - t0))
+    nxt: List[_RegionS] = []
+    for k, (l, r) in enumerate(pairs):
+        if runner.checksum(k) != l.e - l.s:
+            # u16 cell wrapped for this merge (extremely repetitive
+            # input): redo just this pair through the per-pair path,
+            # which reruns its chains with the int32 histogram
+            ctx.log.v("batched merge %d checksum mismatch: per-pair "
+                      "int32 rerun" % k)
+            nxt.append(_merge_pair_scaled(ctx, l, r))
+        else:
+            view = runner.view(k)
+            gap8, ov_idx, ov_val = view.fetch_gap_compressed()
+            nxt.append(_finish_merge(l, r, view, gap8, ov_idx, ov_val))
+        done += 1
+        ctx.log.v("merged [%d,%d): %d/%d" % (nxt[-1].s, nxt[-1].e,
+                                             done, total))
+    return nxt + carried, done
 
 
 def blockwise_bwt_scaled(
@@ -508,6 +576,14 @@ def blockwise_bwt_scaled(
         done = 0
         level = regions
         while len(level) > 1:
+            pairs = [(level[i], level[i + 1])
+                     for i in range(0, len(level) - 1, 2)]
+            if (len(pairs) >= 2 and ctx.mesh is None
+                    and getattr(options, "batch_merges", True)
+                    and _level_fits_batched(ctx, pairs)):
+                level, done = _merge_level_batched(ctx, level, stop_file,
+                                                   done, total)
+                continue
             nxt: List[_RegionS] = []
             i = 0
             while i + 1 < len(level):

@@ -38,6 +38,10 @@ class BwtOptions:
     # device state.
     max_block_symbols: Optional[int] = None
     preisa_sampling_rate: Optional[int] = None  # defaults to isa_sampling_rate
+    # run all pair merges of one tree level in shared device dispatches
+    # (ops/gapbatch.py) when their combined state fits HBM; batchmerges=0
+    # forces the per-pair path
+    batch_merges: bool = True
 
     def __post_init__(self):
         if self.max_block_symbols is None:
@@ -82,4 +86,5 @@ class BwtOptions:
             engine=ai.get("engine", "auto"),
             preisa_sampling_rate=(
                 ai.get_int("preisasamplingrate", 0) or None),
+            batch_merges=ai.get_bool("batchmerges", True),
         )

@@ -21,6 +21,7 @@ import numpy as np
 from jax import lax
 
 from ..io import formats
+from ..ops.gapdev import chunk_outer
 from ..ops.lf import lf_step_batch
 from ..ops.rank import OccTable
 from ..util.log import VerboseLog
@@ -216,7 +217,7 @@ def _harvest_fused_w(w, ranks, positions, seg_len, n, sarate, isarate):
     isa_vals[0] = int(ranks[0])
     done = 0
     while done < max_steps:
-        outer = min(8, (max_steps - done + 255) // 256)
+        outer = chunk_outer(max_steps - done)
         chunklen = outer * 256
         nisa = chunklen // isarate + 1 if isarate <= chunklen else 1
         ks = ((phase - done) % isarate)[None, :] + \
@@ -276,7 +277,7 @@ def _harvest_fused(focc, ranks, positions, seg_len, n, sarate, isarate):
     isa_vals[0] = int(ranks[0])
     done = 0
     while done < max_steps:
-        outer = min(8, (max_steps - done + 255) // 256)
+        outer = chunk_outer(max_steps - done)
         chunklen = outer * 256
         nisa = chunklen // isarate + 1 if isarate <= chunklen else 1
         ks = ((phase - done) % isarate)[None, :] + \

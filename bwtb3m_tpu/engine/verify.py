@@ -58,7 +58,7 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
     instead of a per-step element gather — the round-2 answer to the
     ~2.4 ms/step multi-kernel floor (BENCH.md; VERDICT round 1 #4).
     uint32 ranks: no 2^31 ceiling."""
-    from ..ops.gapdev import build_text_rows
+    from ..ops.gapdev import build_text_rows, chunk_outer
 
     focc, symmap = result.load_focc(dense=True)
     if symmap is not None:
@@ -117,7 +117,7 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
     max_steps = int(ato.max())
     done = 0
     while done < max_steps:
-        outer = min(8, (max_steps - done + 255) // 256)
+        outer = chunk_outer(max_steps - done)
         if wide:
             rhj, rj, bad = _verify_chunk_w(
                 outer, focc, text_rows, saj, afj, atj, rhj, rj, bad,

@@ -89,6 +89,35 @@ def _read_tg(text_rows, gt_rows, start_rows, lo0_row, kbase):
     return trow, grow
 
 
+def walk_outer(remaining: int, platform: str) -> int:
+    """Outer-loop length for the next chain/anchor chunk. On remote-
+    compiled backends (tpu/axon) every distinct `outer` is a multi-minute
+    compile, and the masked overshoot of a fixed outer=8 (< 2048 steps)
+    is noise next to that — ONE variant per shape. On locally-compiled
+    backends (cpu tests/small-input scope) compiles are seconds and the
+    8x masked overshoot dominates short anchor walks (~64-step
+    lookbacks), so size the chunk to the work."""
+    if platform == "cpu":
+        return chunk_outer(remaining)
+    return 8
+
+
+def chunk_outer(remaining: int) -> int:
+    """Outer-loop length for the next SHORT-walk chunk (verify/ssa
+    drivers), restricted to {8, 4, 2, 1}: every distinct `outer` is a
+    SEPARATE multi-minute remote compile of the chunk kernel, and the
+    natural min(8, ceil(remaining/256)) schedule minted a new variant
+    per tail length (one per merge level / text size). Rounding DOWN to
+    a power of two caps the family at 4 variants with masked overshoot
+    < 256 steps. The chain/anchor drivers (walks of 10^3-10^5 steps)
+    instead always run outer=8 — ONE variant per shape; their masked
+    tail overshoot (< 2048 steps) is noise next to a 6-minute compile."""
+    need = max(1, (remaining + 255) // 256)
+    if need >= 8:
+        return 8
+    return 1 << (need.bit_length() - 1)
+
+
 def _col_read(trow, grow, i):
     col = 255 - i
     if trow.shape[1] == TEXT_BLOCK // 2:
@@ -258,6 +287,7 @@ class DeviceGapRunner:
         self.text_rows = text_rows
         self.text = text_host
         self.n = len(text_host)
+        self._plat = None
         self.s, self.m, self.e = int(s), int(m), int(e)
         self.isa_m = int(isa_m)
         self.gap_size = self.e - self.m
@@ -351,6 +381,13 @@ class DeviceGapRunner:
         at[:k] = ato
         return rows, af, at, aligned
 
+    def _platform(self) -> str:
+        """Execution platform of this runner's device arrays (drives the
+        walk_outer compile-variants-vs-overshoot tradeoff)."""
+        if self._plat is None:
+            self._plat = next(iter(self.focc.rows.devices())).platform
+        return self._plat
+
     def _run_anchor(self, starts: np.ndarray, lbs: np.ndarray,
                     r0_val: int) -> np.ndarray:
         """Contraction pass from one bound; lane j walks positions
@@ -364,8 +401,9 @@ class DeviceGapRunner:
         saj = jnp.asarray(rows)
         afj = jnp.asarray(af)
         atj = jnp.asarray(at)
+        plat = self._platform()
         while done < max_steps:
-            outer = min(8, (max_steps - done + 255) // 256)
+            outer = walk_outer(max_steps - done, plat)
             r = _anchor_chunk(outer, self.focc, self.text_rows, self.gt_rows,
                               self.lo0 // TEXT_BLOCK, self.c_first,
                               self.consts, saj, afj, atj, r,
@@ -410,8 +448,9 @@ class DeviceGapRunner:
         aligned_abs = aligned + self.lo0
         phase = (aligned_abs % rate).astype(np.int64) if rate else None
         done = 0
+        plat = self._platform()
         while done < max_steps:
-            outer = min(8, (max_steps - done + 255) // 256)
+            outer = walk_outer(max_steps - done, plat)
             chunklen = outer * 256
             if rate:
                 nsamp = chunklen // rate + 1
@@ -488,31 +527,36 @@ class DeviceGapRunner:
 
     def cnt_le_at_host(self, ranks: np.ndarray, gap8: np.ndarray,
                        ov_idx: np.ndarray, ov_val: np.ndarray) -> np.ndarray:
-        """cnt_le[r] = #left suffixes with R <= r at the given (sorted or
-        unsorted) ranks, computed on host from the byte-compressed gap —
-        a device cumsum over the full rank space is a 6.4 GB int32
-        transient at a 1.6 G root merge; np.add.reduceat over the sample
-        segments costs O(|gap| + #ranks) with no large temporary."""
-        if len(ranks) == 0:
-            return np.zeros(0, np.int64)
-        order = np.argsort(ranks, kind="stable")
-        r_sorted = ranks[order].astype(np.int64)
-        # segment sums gap8[bounds[i]:bounds[i+1]); a trailing 0 sentinel
-        # keeps every reduceat index in range (bounds[-1] may equal
-        # len(gap8)), and zero-length segments (duplicate ranks), where
-        # reduceat returns the start element instead of 0, are masked
-        g = np.concatenate([np.asarray(gap8, np.uint8), np.zeros(1, np.uint8)])
-        bounds = np.concatenate([[0], r_sorted + 1])
-        sums = np.add.reduceat(g, bounds, dtype=np.int64)[:-1]
-        sums = np.where(np.diff(bounds) > 0, sums, 0)
-        cnt_sorted = np.cumsum(sums)
-        # overflow corrections: gap8 saturates at 255; add the surplus of
-        # every overflowed rank <= r
-        if len(ov_idx):
-            surplus = (ov_val - 255).astype(np.int64)
-            pos = np.searchsorted(ov_idx, r_sorted, side="right")
-            cs = np.concatenate([[0], np.cumsum(surplus)])
-            cnt_sorted = cnt_sorted + cs[pos]
-        out = np.empty(len(ranks), np.int64)
-        out[order] = cnt_sorted
-        return out
+        return cnt_le_from_gap(ranks, gap8, ov_idx, ov_val)
+
+
+def cnt_le_from_gap(ranks: np.ndarray, gap8: np.ndarray,
+                    ov_idx: np.ndarray, ov_val: np.ndarray) -> np.ndarray:
+    """cnt_le[r] = #left suffixes with R <= r at the given (sorted or
+    unsorted) ranks, computed on host from the byte-compressed gap —
+    a device cumsum over the full rank space is a 6.4 GB int32
+    transient at a 1.6 G root merge; np.add.reduceat over the sample
+    segments costs O(|gap| + #ranks) with no large temporary."""
+    if len(ranks) == 0:
+        return np.zeros(0, np.int64)
+    order = np.argsort(ranks, kind="stable")
+    r_sorted = ranks[order].astype(np.int64)
+    # segment sums gap8[bounds[i]:bounds[i+1]); a trailing 0 sentinel
+    # keeps every reduceat index in range (bounds[-1] may equal
+    # len(gap8)), and zero-length segments (duplicate ranks), where
+    # reduceat returns the start element instead of 0, are masked
+    g = np.concatenate([np.asarray(gap8, np.uint8), np.zeros(1, np.uint8)])
+    bounds = np.concatenate([[0], r_sorted + 1])
+    sums = np.add.reduceat(g, bounds, dtype=np.int64)[:-1]
+    sums = np.where(np.diff(bounds) > 0, sums, 0)
+    cnt_sorted = np.cumsum(sums)
+    # overflow corrections: gap8 saturates at 255; add the surplus of
+    # every overflowed rank <= r
+    if len(ov_idx):
+        surplus = (ov_val - 255).astype(np.int64)
+        pos = np.searchsorted(ov_idx, r_sorted, side="right")
+        cs = np.concatenate([[0], np.cumsum(surplus)])
+        cnt_sorted = cnt_sorted + cs[pos]
+    out = np.empty(len(ranks), np.int64)
+    out[order] = cnt_sorted
+    return out

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.gapdev import _chain_chunk_impl
+from ..ops.gapdev import _chain_chunk_impl, walk_outer
 from .mesh import AXIS
 
 
@@ -93,8 +93,9 @@ class ShardedGapRunner:
         phase = (aligned_abs % rate).astype(np.int64) if rate else None
         r._samples = []
         done = 0
+        plat = self.mesh.devices.flat[0].platform
         while done < max_steps:
-            outer = min(8, (max_steps - done + 255) // 256)
+            outer = walk_outer(max_steps - done, plat)
             chunklen = outer * 256
             if outer not in self._fns:
                 self._fns[outer] = sharded_chain_chunk_fn(

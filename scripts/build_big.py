@@ -55,6 +55,7 @@ def main():
         output_filename=os.path.join(work, "t%dm.bwt" % mbp),
         engine="merge", bwt_only=True,
         max_block_symbols=block_mb * 1000 * 1000,
+        batch_merges=os.environ.get("BWTB3M_BATCHMERGES", "1") != "0",
         verbose=1))
     stats["build_s"] = round(time.time() - t0, 1)
     log.v("build: %.1fs (%.1f Mbp/s end-to-end)"

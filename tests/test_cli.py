@@ -371,3 +371,16 @@ def test_bytestream_to_lz4_cli(tmp_path):
     assert run(["bytestreamToLz4", "outputfilename=" + out, src]) == 0
     back = np.frombuffer(read_lz4_stream(out), dtype=np.uint8)
     assert np.array_equal(back, data)
+
+
+def test_bwttestdecodespeed_cli(tmp_path):
+    # the throughput tool must run end-to-end on a real .bwt (tiny steps/
+    # streams so the CPU test stays fast) and exit 0
+    rng = np.random.default_rng(3)
+    inp = tmp_path / "t.bin"
+    inp.write_bytes(bytes(rng.integers(97, 101, 4096, dtype=np.uint8)))
+    out = str(tmp_path / "t.bwt")
+    assert run(["bwtb3m", "inputtype=bytestream", "bwtonly=1", "verbose=0",
+                "outputfilename=" + out, str(inp)]) == 0
+    assert run(["bwttestdecodespeed", "steps=64", "maxstreams=64",
+                "verbose=0", out]) == 0
