@@ -59,8 +59,11 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
     ~2.4 ms/step multi-kernel floor (BENCH.md; VERDICT round 1 #4).
     uint32 ranks: no 2^31 ceiling."""
     from ..ops.gapdev import build_text_rows, chunk_outer
+    import time as _time
 
+    _t0 = _time.time()
     focc, symmap = result.load_focc(dense=True)
+    _t_focc = _time.time() - _t0
     if symmap is not None:
         remap = np.full(int(max(text.max(), symmap.max())) + 1, -1, np.int32)
         remap[symmap] = np.arange(len(symmap), dtype=np.int32)
@@ -85,7 +88,9 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
     _write_checkinfo(result, seg_len, positions, ranks)
 
     sigma_t = int(text.max()) + 1 if n else 1
+    _t0 = _time.time()
     text_rows = build_text_rows(text, sigma_t)
+    _t_rows = _time.time() - _t0
     # lane i emits text[p_i - 1 - k] at step k; the wrap lane (p=0) reads
     # n-1 downward, so every lane's read positions stay in [0, n)
     walk_start = (positions - 1) % n
@@ -115,6 +120,10 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
     bad = jnp.zeros(bucket, jnp.int32)
     saj, afj, atj = jnp.asarray(sa), jnp.asarray(af), jnp.asarray(at)
     max_steps = int(ato.max())
+    log.v("checkbwt walk: %d lanes (bucket %d), %d steps/lane max, "
+          "focc %.1fs, text rows %.1fs" % (T, bucket, max_steps,
+                                           _t_focc, _t_rows))
+    _t0 = _time.time()
     done = 0
     while done < max_steps:
         outer = chunk_outer(max_steps - done)
@@ -127,7 +136,8 @@ def _check_bwt_fused(result: BwtResult, text: np.ndarray,
                                     rj, bad, jnp.int32(done))
         done += outer * 256
     total_bad = int(np.asarray(jnp.sum(bad)))
-    log.v("checkbwt: %d mismatches over n=%d" % (total_bad, n))
+    log.v("checkbwt: %d mismatches over n=%d, walk %.1fs"
+          % (total_bad, n, _time.time() - _t0))
     return total_bad == 0
 
 

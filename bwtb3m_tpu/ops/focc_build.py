@@ -192,7 +192,12 @@ def build_focc_host(bwt: np.ndarray, sigma: int, pad_shape: bool = True,
         if len(chunk) < gsym:
             chunk = np.concatenate(
                 [chunk, np.zeros(gsym - len(chunk), np.uint8)])
-        packed = jnp.asarray(_pack_host(chunk, bits))
+        packed = _pack_host(chunk, bits)
+        if packed.base is not None:
+            # fresh page-aligned buffer: the relay ships a view of a
+            # large array ~3x slower than an owning contiguous one
+            packed = packed.copy()
+        packed = jnp.asarray(packed)
         if bitplane:
             rows, base = _bp_chunk(g, sigma, bits, packed, base, rows,
                                    jnp.int32(k * g), nfull, nrem)

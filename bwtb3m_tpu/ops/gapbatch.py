@@ -97,7 +97,12 @@ def build_focc_concat(bwts: List[np.ndarray], sigma: int
             if len(chunk) < gsym:
                 chunk = np.concatenate(
                     [chunk, np.zeros(gsym - len(chunk), np.uint8)])
-            packed = jnp.asarray(_pack_host(chunk, bits))
+            packed = _pack_host(chunk, bits)
+            if packed.base is not None:
+                # the relay ships nonzero-offset views of large arrays
+                # ~3x slower than owning buffers (BENCH.md round 3)
+                packed = packed.copy()
+            packed = jnp.asarray(packed)
             start = jnp.int32(row_bases[k] + j * g)
             if bitplane:
                 rows, base = _bp_chunk(g, sigma, bits, packed, base, rows,

@@ -32,8 +32,8 @@ def main():
     from jax import lax
 
     from bwtb3m_tpu.ops.focc import lf_step_batch_f
-    from bwtb3m_tpu.ops.focc_bp import build_focc_bp, lf_step_words_fused, \
-        _gather_words
+    from bwtb3m_tpu.ops.focc_bp import lf_step_words_fused, _gather_words
+    from bwtb3m_tpu.ops.focc_build import build_focc_host
     from bwtb3m_tpu.ops.gapdev import build_text_rows
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 24
@@ -43,7 +43,9 @@ def main():
     rng = np.random.default_rng(0)
     text = rng.integers(0, sigma, n).astype(np.uint8)
     bwt = rng.integers(0, sigma, n).astype(np.int8)   # shape-only stand-in
-    focc = build_focc_bp(jnp.asarray(bwt), sigma)
+    # chunked production builder: the monolithic jit OOMs past ~512M
+    # (16 GB padded bit-shift temp)
+    focc = build_focc_host(bwt, sigma)
     text_rows = build_text_rows(text, sigma)
 
     T = lanes
