@@ -16,6 +16,9 @@ from ..io import formats
 from ..io.rl import open_bwt
 from ..ops.rank import build_occ
 
+# one-entry focc memo shared across BwtResult instances (see load_focc)
+_FOCC_CACHE: dict = {}
+
 
 class BwtResult:
     def __init__(self, meta: dict):
@@ -105,7 +108,27 @@ class BwtResult:
         """Build the fused single-gather rank structure (ops/focc.py) from
         .bwt — the uint32 path every walk kernel (checkbwt, bwtcomputessa,
         gap chains) now runs on; no 2^31 rank ceiling. Returns
-        (FusedOcc, symbol_map or None)."""
+        (FusedOcc, symbol_map or None).
+
+        Results are memoized per (path, mtime, size, dense): building +
+        shipping the rows dominates a verify/ssa pipeline leg (BENCH.md
+        round 3, 47-154 s at 256M through the relay), and checkbwt +
+        bwtcomputessa in one process would otherwise each rebuild the
+        same structure — the role of the reference's freshness-checked
+        .hwt reuse (/root/reference/src/checkbwt.cpp:46-53)."""
+        import os
+        st = os.stat(self.bwt_path)
+        key = (os.path.abspath(self.bwt_path), st.st_mtime_ns, st.st_size,
+               bool(dense))
+        hit = _FOCC_CACHE.get(key)
+        if hit is not None:
+            return hit
+        out = self._build_focc(dense)
+        _FOCC_CACHE.clear()   # hold at most one (rows are ~1 B/symbol HBM)
+        _FOCC_CACHE[key] = out
+        return out
+
+    def _build_focc(self, dense: bool):
         bwt = None
         with open_bwt(self.bwt_path) as r:
             if hasattr(r, "decode_all_u8"):
