@@ -165,3 +165,35 @@ def test_ssa_wrap_lane_fused(tmp_path):
     sa, isa, _ = suffix_array(text, int(text.max()) + 1)
     assert np.array_equal(sa_vals, np.asarray(sa)[::16])
     assert np.array_equal(isa_vals, np.asarray(isa)[::48])
+
+
+def test_focc_cache_invalidation(tmp_path):
+    # load_focc memoizes per (path, mtime, size): same file hits the
+    # cache (identity), a rewritten .bwt must rebuild (BENCH.md round 3:
+    # the build is transfer-bound, one pipeline should pay it once)
+    import os
+    import time as _t
+    from bwtb3m_tpu.engine import BwtOptions, compute_bwt
+    from bwtb3m_tpu.engine.result import BwtResult
+
+    rng = np.random.default_rng(7)
+    raw = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=3000)
+    p = tmp_path / "c.bin"
+    p.write_bytes(raw.tobytes())
+    out = str(tmp_path / "c.bwt")
+    compute_bwt(BwtOptions(input_path=str(p), bwt_only=True,
+                           output_filename=out))
+    res = BwtResult.load(out)
+    f1, m1 = res.load_focc(dense=True)
+    f2, _m2 = res.load_focc(dense=True)
+    assert f1 is f2, "expected cache hit for unchanged .bwt"
+    # rewrite with different content: cache must miss
+    raw2 = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=3100)
+    p.write_bytes(raw2.tobytes())
+    _t.sleep(0.01)
+    compute_bwt(BwtOptions(input_path=str(p), bwt_only=True,
+                           output_filename=out))
+    res2 = BwtResult.load(out)
+    f3, _m3 = res2.load_focc(dense=True)
+    assert f3 is not f1
+    assert int(f3.n) == 3100 and int(f1.n) == 3000
