@@ -345,10 +345,15 @@ def compute_ssa(
         ranks, positions, _rate = result.load_preisa()
         ranks, positions, seg_len = _seed_segments(ranks, positions, n)
         if result.sigma <= 256:
+            import time as _time
+            _t0 = _time.time()
             focc, _symmap = result.load_focc(dense=True)
+            _t1 = _time.time()
             sa_vals, isa_vals = _harvest_fused(
                 focc, ranks, positions, seg_len, n,
                 int(sa_sampling_rate), int(isa_sampling_rate))
+            log.v("ssa: %d lanes, focc %.1fs, walk+harvest %.1fs"
+                  % (len(positions), _t1 - _t0, _time.time() - _t1))
         else:
             occt, _symmap = result.load_occ(dense=True)
             steps = int(seg_len.max())
