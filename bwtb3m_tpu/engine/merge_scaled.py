@@ -384,6 +384,14 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
         isa_m=right.r_start, first_hist=right.hist,
         lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
         nthreads=ctx.nthreads, log=log)
+    exec_ = runner
+    if ctx.mesh is not None and os.environ.get("BWTB3M_SHARD_OCC"):
+        # rank rows + gap histogram sharded by rank range over the mesh:
+        # one pair merge's right region may exceed a single device's HBM
+        # (parallel/shocc.py; the lane-sharded path below is the
+        # compute-scaling alternative when the region fits one device)
+        from ..parallel.shocc import ShardedOccGapRunner
+        exec_ = ShardedOccGapRunner(ctx.mesh, runner)
     _mark("init")
 
     # segment plan: T lanes over [s, m)
@@ -397,7 +405,7 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
         lb = anchor_lookback
         todo = np.arange(T - 1)
         while len(todo):
-            vals, ok = runner.anchor(starts[todo], min(lb, ctx.n))
+            vals, ok = exec_.anchor(starts[todo], min(lb, ctx.n))
             seeds[todo[ok]] = vals[ok]
             todo = todo[~ok]
             if len(todo) and lb >= ctx.n:
@@ -410,7 +418,17 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
                       % (lb, len(todo)))
     _mark("anchor")
 
-    if ctx.mesh is not None:
+    if exec_ is not runner:
+        # occ-sharded path: same u16-wrap escape as single-device (the
+        # local histograms are u16 too)
+        exec_.run_chains(starts, seeds, lens)
+        total = runner.gap_checksum()
+        if total != block_len:
+            log.v("gap u16 checksum %d != %d: rerunning sharded chains "
+                  "with int32 histogram" % (total, block_len))
+            exec_.run_chains(starts, seeds, lens, force_int32=True)
+            total = runner.gap_checksum()
+    elif ctx.mesh is not None:
         # multi-chip intra-pair path: chain lanes sharded over the mesh
         # (rank rows replicated, per-device partial histograms, one
         # reduction at the end); runner state mirrors the single-device
