@@ -376,14 +376,30 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
 
     # chunked host->device build: O(chunk) transients (the monolithic
     # builder's 4 B/symbol int32 staging would exceed HBM at Gbp-scale
-    # root merges) and no flat device array
-    focc = build_focc_host(right.bwt, ctx.sigma)
-    _mark("focc")
-    runner = DeviceGapRunner(
-        focc, ctx.text_rows, ctx.text, s, m, e,
-        isa_m=right.r_start, first_hist=right.hist,
-        lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
-        nthreads=ctx.nthreads, log=log)
+    # root merges) and no flat device array.  Merges whose rank space or
+    # left block exceed uint32 (texts past 2^33) take the two-word
+    # chain kernels (ops/gapwide.py)
+    wide = (e - m + 2 > ((1 << 24) - 1) * 256 or m - s >= (1 << 32)
+            or bool(os.environ.get("BWTB3M_FORCE_WIDE")))
+    if wide:
+        from ..ops.gapwide import WideDeviceGapRunner, widen_focc
+        focc, bases, g = build_focc_host(right.bwt, ctx.sigma,
+                                         return_bases=True)
+        wocc = widen_focc(focc, bases, g, len(right.bwt))
+        _mark("focc")
+        runner = WideDeviceGapRunner(
+            wocc, ctx.text_rows, ctx.text, s, m, e,
+            isa_m=right.r_start, first_hist=right.hist,
+            lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
+            nthreads=ctx.nthreads, log=log)
+    else:
+        focc = build_focc_host(right.bwt, ctx.sigma)
+        _mark("focc")
+        runner = DeviceGapRunner(
+            focc, ctx.text_rows, ctx.text, s, m, e,
+            isa_m=right.r_start, first_hist=right.hist,
+            lane_bucket=ctx.lane_bucket, sample_rate=ctx.rate,
+            nthreads=ctx.nthreads, log=log)
     exec_ = runner
     if ctx.mesh is not None and os.environ.get("BWTB3M_SHARD_OCC"):
         # rank rows + gap histogram sharded by rank range over the mesh:

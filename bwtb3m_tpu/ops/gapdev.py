@@ -278,6 +278,8 @@ class DeviceGapRunner:
     host interleave; ``cnt_le_at_host`` serves the right-side sample updates from the fetched compressed histogram.
     """
 
+    WIDE = False      # ops/gapwide.WideDeviceGapRunner overrides
+
     def __init__(self, focc: FusedOcc, text_rows, text_host: np.ndarray,
                  s: int, m: int, e: int,
                  isa_m: int, first_hist: np.ndarray,
@@ -304,7 +306,8 @@ class DeviceGapRunner:
         self.log = log
         self.sigma = int(focc.sigma)
         block_len = self.m - self.s
-        assert block_len < (1 << 32), "left block must stay below 2^32"
+        assert self.WIDE or block_len < (1 << 32), \
+            "left block must stay below 2^32 (wide runner past that)"
         # c_first[c] = number of M rotations starting with a symbol < c
         self.c_first = jnp.asarray(
             np.concatenate([[0], np.cumsum(first_hist)[:-1]]).astype(np.uint32))
