@@ -574,6 +574,21 @@ def _merge_level_batched(ctx: _Ctx, level, stop_file: str, done: int,
     return nxt + carried, done
 
 
+def _validate_scale(n: int) -> None:
+    """Reject lengths past the engine's exact-arithmetic envelope.
+
+    The balanced tree keeps every per-merge rank space < 2^32 for
+    n < 2^33, so uint32 chain lanes stay exact there; merges past that
+    dispatch the two-word runner (ops/gapwide.py — rank rows addressed
+    by int32 block row, exact to 2^39).  The binding limit is the wide
+    rank structure's wrap tracking: THR_K = 8 recorded occ-lo wraps per
+    symbol (ops/wideocc.py), exact to n = 2^35."""
+    if n >= (1 << 35):
+        raise ValueError(
+            "texts >= 2^35 symbols exceed the wide rank structure's "
+            "THR_K wrap tracking (ops/wideocc.py)")
+
+
 def blockwise_bwt_scaled(
     symbols: np.ndarray, sigma: int, options: BwtOptions,
     log: Optional[VerboseLog] = None, sample_rate: int = 1024,
@@ -590,12 +605,7 @@ def blockwise_bwt_scaled(
         raise ValueError("scaled merge engine supports sigma <= 256 "
                          "(byte device text); rank-compact the alphabet "
                          "first (engine/api.py does for utf-8)")
-    if n >= (1 << 33):
-        # the balanced tree keeps every per-merge rank space < 2^32 for
-        # n < 2^33, so uint32 chain lanes stay exact; past that the
-        # chains themselves would need (hi, lo) rank words
-        raise ValueError("texts >= 2^33 symbols need two-word chain "
-                         "ranks (merge rank spaces exceed uint32)")
+    _validate_scale(n)
     from ..util.devices import device_scope
     with device_scope(n):
         ctx = _Ctx(text, sigma, sample_rate, options, log, lane_bucket,
