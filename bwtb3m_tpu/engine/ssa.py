@@ -114,7 +114,10 @@ def _harvest_chunk_w(outer: int, w, r_hi, r_lo, p_hi, p_lo, sa_lo, sa_hi,
         n_sa = sa_lo.shape[0]
         sh = jnp.uint32(sarate.bit_length() - 1)
         # rank % sarate == 0 (pow2: low bits of the lo word); idx =
-        # rank >> sh fits uint32 (n < 2^33, sarate >= 4)
+        # rank >> sh is exact in uint32 because the driver rejects
+        # n_sa >= 2^31 (so idx < 2^31 and hi < 2^(sh-1) — no bits lost
+        # in the hi << (32 - sh) reassembly) for any n in the 2^35
+        # engine envelope
         hit = jnp.logical_and((ys_lo & jnp.uint32(sarate - 1)) == 0,
                               ys_hi != sentinel)
         idx = jnp.where(hit,

@@ -66,8 +66,12 @@ def main():
                                jnp.arange(outer, dtype=jnp.int32))
         return jnp.sum(acc) + jnp.sum(r)
 
-    windows = [None] + [w for w in (1 << 24, 1 << 20, 1 << 16)
-                        if w < n]
+    if len(sys.argv) > 4:          # explicit window list, "full" or log2
+        windows = [None if a == "full" else 1 << int(a)
+                   for a in sys.argv[4].split(",")]
+    else:
+        windows = [None] + [w for w in (1 << 24, 1 << 20, 1 << 16)
+                            if w < n]
     for w in windows:
         wmask = None if w is None else w - 1
         base = jnp.uint32(0 if w is None else (n - w) // 2)
