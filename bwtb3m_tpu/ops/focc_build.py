@@ -147,6 +147,59 @@ def _pack_host(chunk: np.ndarray, bits: int) -> np.ndarray:
     return packed
 
 
+def _rows_chunk_slice(region_rows, r0: int, g: int):
+    """g consecutive packed rows from a device region-rows buffer,
+    flattened to the chunk programs' 1-D packed layout; rows past the
+    buffer (shape-bucketed pads may fall one row short of the occ
+    builder's nb+1 coverage) read as zeros, which the nfull/nrem masks
+    ignore anyway."""
+    have = min(max(region_rows.shape[0] - r0, 0), g)
+    sl = region_rows[r0 : r0 + have].reshape(-1)
+    w = region_rows.shape[1]
+    if have < g:
+        sl = jnp.concatenate([sl, jnp.zeros((g - have) * w, jnp.int8)])
+    return sl
+
+
+def build_focc_from_rows(region_rows, n: int, sigma: int,
+                         chunk_rows: int = 0):
+    """Fused rank structure from DEVICE-resident packed region rows
+    (ops/devzip.py layout) — no host pack, no host->device transfer.
+    Row contents are byte-identical to build_focc_host on the same
+    symbols (shared chunk programs)."""
+    import os
+
+    if sigma > 256:
+        raise ValueError("fused rank rows store symbols as bytes "
+                         "(sigma <= 256)")
+    bits = 4 if region_rows.shape[1] == BLOCK // 2 else 8
+    nb = max(1, (n + BLOCK - 1) // BLOCK)
+    nb_pad = _pad_rows(nb + 1)
+    bitplane = sigma <= 8 and os.environ.get("BWTB3M_FOCC") != "legacy"
+    assert not (bitplane and bits != 4)
+    g = _chunk_rows_for(nb_pad, chunk_rows)
+    nchunks = (nb + 1 + g - 1) // g
+    roww = 4 * WPR if bitplane else _row_width(sigma, BLOCK)
+    rows = jnp.zeros((nb_pad, roww), jnp.int8)
+    base = jnp.zeros((sigma,), jnp.uint32)
+    nfull = jnp.int32(n // BLOCK)
+    nrem = jnp.int32(n % BLOCK)
+    for k in range(nchunks):
+        packed = _rows_chunk_slice(region_rows, k * g, g)
+        if bitplane:
+            rows, base = _bp_chunk(g, sigma, bits, packed, base, rows,
+                                   jnp.int32(k * g), nfull, nrem)
+        else:
+            rows, base = _bytes_chunk(g, sigma, bits, roww, packed, base,
+                                      rows, jnp.int32(k * g), nfull, nrem)
+    total = np.asarray(base).astype(np.uint64)
+    C = np.zeros(sigma + 1, np.uint32)
+    C[1:] = np.cumsum(total).astype(np.uint32)
+    Cj = jnp.asarray(C)
+    return (FusedOccBP(rows, Cj, n, sigma) if bitplane
+            else FusedOcc(rows, Cj, n, sigma, BLOCK))
+
+
 def build_focc_host(bwt: np.ndarray, sigma: int, pad_shape: bool = True,
                     chunk_rows: int = 0, return_bases: bool = False):
     """Build the fused rank structure for a HOST uint8 BWT of any length

@@ -117,6 +117,45 @@ def build_focc_concat(bwts: List[np.ndarray], sigma: int
     return focc, row_bases
 
 
+def build_focc_concat_dev(region_rows: List[object], lens: List[int],
+                          sigma: int) -> Tuple[object, np.ndarray]:
+    """build_focc_concat from DEVICE-resident packed region rows
+    (ops/devzip.py layout): no host pack, no host->device transfer —
+    the round-4 device-resident merge tree's level rank build."""
+    from .focc_build import _rows_chunk_slice
+    bitplane = sigma <= 8 and os.environ.get("BWTB3M_FOCC") != "legacy"
+    roww = 4 * WPR if bitplane else _row_width(sigma, BLOCK)
+    bits = 4 if region_rows[0].shape[1] == BLOCK // 2 else 8
+    assert not (bitplane and bits != 4)
+    nbs = [max(1, (ln + BLOCK - 1) // BLOCK) for ln in lens]
+    row_bases = np.zeros(len(lens), np.int64)
+    row_bases[1:] = np.cumsum([nb + 1 for nb in nbs])[:-1]
+    total_rows = int(row_bases[-1] + nbs[-1] + 1)
+    g = min(_CHUNK_ROWS, _pad_rows(total_rows))
+    nb_pad = _pad_rows(total_rows + g)
+    g = min(g, nb_pad)
+    rows = jnp.zeros((nb_pad, roww), jnp.int8)
+    for k, (src, ln) in enumerate(zip(region_rows, lens)):
+        base = jnp.zeros((sigma,), jnp.uint32)
+        nfull = jnp.int32(row_bases[k] + ln // BLOCK)
+        nrem = jnp.int32(ln % BLOCK)
+        nchunks = (nbs[k] + 1 + g - 1) // g
+        for j in range(nchunks):
+            packed = _rows_chunk_slice(src, j * g, g)
+            start = jnp.int32(row_bases[k] + j * g)
+            if bitplane:
+                rows, base = _bp_chunk(g, sigma, bits, packed, base, rows,
+                                       start, nfull, nrem)
+            else:
+                rows, base = _bytes_chunk(g, sigma, bits, roww, packed,
+                                          base, rows, start, nfull, nrem)
+    C = jnp.zeros(sigma + 1, jnp.uint32)
+    n_virt = total_rows * BLOCK
+    focc = (FusedOccBP(rows, C, n_virt, sigma) if bitplane
+            else FusedOcc(rows, C, n_virt, sigma, BLOCK))
+    return focc, row_bases
+
+
 def concat_bytes_estimate(right_lens: List[int], left_total: int,
                           sigma: int) -> int:
     """HBM bytes the batched level state needs beyond the engine-wide
@@ -274,7 +313,11 @@ class BatchedGapRunner:
 
     def __init__(self, text_rows, text_host: np.ndarray, sigma: int,
                  merges, lane_bucket: int = 1 << 16, sample_rate: int = 0,
-                 nthreads: int = 4, log=None):
+                 nthreads: int = 4, log=None, right_rows=None, mesh=None):
+        self.mesh = mesh       # lane-shard the level over a device mesh
+        self._mesh_fns = {}
+        if mesh is not None:
+            assert lane_bucket % int(mesh.devices.size) == 0
         self.text_rows = text_rows
         self.text = text_host
         self.n = len(text_host)
@@ -283,11 +326,18 @@ class BatchedGapRunner:
         self.sample_rate = int(sample_rate)
         self.nthreads = nthreads
         self.log = log
-        right_bwts = [m[3] for m in merges]
-        self.focc, row_bases = build_focc_concat(right_bwts, self.sigma)
-        self.total_rank = int(row_bases[-1] * BLOCK
-                              + len(right_bwts[-1]) + 1)
-        assert (row_bases[-1] + (len(right_bwts[-1]) + 255) // 256 + 2
+        right_lens = [m[2] - m[1] for m in merges]
+        if right_rows is not None:
+            # device-resident regions (round-4 device tree): level rank
+            # rows build straight from the children's device rows
+            self.focc, row_bases = build_focc_concat_dev(
+                right_rows, right_lens, self.sigma)
+        else:
+            right_bwts = [m[3] for m in merges]
+            self.focc, row_bases = build_focc_concat(right_bwts,
+                                                     self.sigma)
+        self.total_rank = int(row_bases[-1] * BLOCK + right_lens[-1] + 1)
+        assert (row_bases[-1] + (right_lens[-1] + 255) // 256 + 2
                 <= (1 << 24) - 1), \
             "level rank space must stay 256 short of 2^32"
         self.specs: List[_MergeSpec] = []
@@ -413,10 +463,26 @@ class BatchedGapRunner:
         plat = next(iter(self.focc.rows.devices())).platform
         while done < max_steps:
             outer = walk_outer(max_steps - done, plat)
-            r = _anchor_chunk_mk(outer, self.focc, self.text_rows,
-                                 self.gt_rows, *jt, r, jnp.int32(done))
+            if self.mesh is not None:
+                fn = self._mesh_fn("anchor", outer)
+                r = fn(self.focc, self.text_rows, self.gt_rows, *jt, r,
+                       jnp.int32(done))
+            else:
+                r = _anchor_chunk_mk(outer, self.focc, self.text_rows,
+                                     self.gt_rows, *jt, r,
+                                     jnp.int32(done))
             done += outer * 256
         return np.asarray(r)[: len(kid)].astype(np.int64)
+
+    def _mesh_fn(self, kind: str, outer: int):
+        key = (kind, outer)
+        if key not in self._mesh_fns:
+            from ..parallel.merge import (sharded_batched_anchor_fn,
+                                          sharded_batched_chain_fn)
+            mk = (sharded_batched_anchor_fn if kind == "anchor"
+                  else sharded_batched_chain_fn)
+            self._mesh_fns[key] = mk(self.mesh, outer)
+        return self._mesh_fns[key]
 
     def anchor_all(self, anchor_lookback: int = 64) -> None:
         """Seed ranks for every merge's interior lane boundaries, all
@@ -480,9 +546,13 @@ class BatchedGapRunner:
     # ------------------------------------------------------------- chains
 
     def compute(self, r_start_right: List[int],
-                anchor_lookback: int = 64) -> None:
+                anchor_lookback: int = 64, fetch_host: bool = True
+                ) -> None:
         """Anchors + chains + gap fetch for all merges. r_start_right[k]
-        = right region k's r_start (the last lane's seed)."""
+        = right region k's r_start (the last lane's seed).
+        ``fetch_host=False`` keeps the histogram on device (the device-
+        tree zip consumes it there) and only derives the per-merge
+        checksums; fetch_gap_compressed is unavailable then."""
         self._r_start_right = list(r_start_right)
         self.anchor_all(anchor_lookback)
         kid = np.concatenate(
@@ -500,7 +570,12 @@ class BatchedGapRunner:
         self._ensure_gt(caps)
         grows = _pad_pow2((self.total_rank + 2 + 255) // 256, lo=4)
         assert grows < (1 << 24) - 1
-        self.gap = jnp.zeros((grows, 256), jnp.uint16)
+        D = int(self.mesh.devices.size) if self.mesh is not None else 0
+        if D:
+            # per-device int32 partials (exact: no u16-wrap rerun)
+            gap_sh = jnp.zeros((D, grows, 256), jnp.int32)
+        else:
+            self.gap = jnp.zeros((grows, 256), jnp.uint16)
         jt, af, at, aligned_abs = self._lane_tables(kid, starts, lens)
         T = self.lane_bucket
         r = np.zeros(T, np.uint32)
@@ -526,13 +601,22 @@ class BatchedGapRunner:
                 nsamp = 1
                 idxc = np.zeros((1, T), np.int32)
                 valid = None
-            r, self.gap, samp = _chain_chunk_mk(
-                outer, self.focc, self.text_rows, self.gt_rows, *jt,
-                self.gap, r, jnp.int32(done), jnp.asarray(idxc))
+            if D:
+                fn = self._mesh_fn("chain", outer)
+                r, gap_sh, samp = fn(
+                    self.focc, self.text_rows, self.gt_rows, *jt,
+                    gap_sh, r, jnp.int32(done), jnp.asarray(idxc))
+            else:
+                r, self.gap, samp = _chain_chunk_mk(
+                    outer, self.focc, self.text_rows, self.gt_rows, *jt,
+                    self.gap, r, jnp.int32(done), jnp.asarray(idxc))
             if rate:
                 self._samples.append(
                     (done, np.asarray(samp)[:, : len(kid)], valid))
             done += chunklen
+        if D:
+            # one reduction for the level (not one per step)
+            self.gap = jnp.sum(gap_sh, axis=0, dtype=jnp.int32)
         final = np.asarray(r)[: len(kid)].astype(np.int64)
         self._lane_maps = (kid, starts, lens, aligned_abs,
                            af[: len(kid)], at[: len(kid)])
@@ -548,7 +632,12 @@ class BatchedGapRunner:
                         "anchor/chain mismatch (merge %d lane %d): %d != %d"
                         % (sp.k, bad + 1, sp.final_rs[bad + 1],
                            seeds_loc[bad]))
-        self._fetch_all()
+        if fetch_host:
+            self._fetch_all()
+        else:
+            self._row_sums = np.asarray(
+                jnp.sum(self.gap, axis=1, dtype=jnp.uint32)
+            ).astype(np.int64)
 
     def _fetch_all(self) -> None:
         """One compressed fetch + one overflow gather for the level."""

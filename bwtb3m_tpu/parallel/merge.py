@@ -127,3 +127,54 @@ class ShardedGapRunner:
         r._lanes = (starts.copy(), lens.copy(), aligned_abs.copy(),
                     af[: len(starts)].copy(), at[: len(starts)].copy())
         return np.asarray(r.gap, dtype=np.int64).reshape(-1)[: r.gap_size + 1]
+
+
+# ---------------------------------------------------------------------------
+# batched-level merges over the mesh: independent same-level pair merges
+# distributed across devices (SURVEY.md section 2.3.3 merge-tree
+# parallelism; round-3 ROADMAP "Still open" #1).  The batched level's lane
+# population is ordered by merge, so sharding the LANE axis assigns whole
+# merges (up to one boundary merge per cut) to device groups — each device
+# runs its merges' chains against the replicated concatenated rank rows
+# with zero per-step collectives; the per-device partial histograms sum
+# once at the end (int32 partials: exact, no u16 rerun needed).
+# ---------------------------------------------------------------------------
+
+def sharded_batched_chain_fn(mesh: Mesh, outer: int, axis: str = AXIS):
+    from ..ops.gapbatch import _chain_chunk_mk_impl
+
+    def body(focc, text_rows, gt_rows, l0r, gtb, gtl, cb, isg, syb, syl,
+             rows, af, at, gap, r0, k0, samp_idx):
+        r, g, samp = _chain_chunk_mk_impl(
+            outer, focc, text_rows, gt_rows, l0r, gtb, gtl, cb, isg,
+            syb, syl, rows, af, at, gap[0], r0, k0, samp_idx)
+        return r, g[None], samp
+
+    rep = P()
+    lane = P(axis)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, rep, lane, lane, lane, P(axis, None), lane,
+                  lane, lane, lane, lane, lane, P(axis, None, None),
+                  lane, rep, P(None, axis)),
+        out_specs=(lane, P(axis, None, None), P(None, axis)),
+    ))
+
+
+def sharded_batched_anchor_fn(mesh: Mesh, outer: int, axis: str = AXIS):
+    from ..ops.gapbatch import _anchor_chunk_mk_impl
+
+    def body(focc, text_rows, gt_rows, l0r, gtb, gtl, cb, isg, syb, syl,
+             rows, af, at, r0, k0):
+        return _anchor_chunk_mk_impl(
+            outer, focc, text_rows, gt_rows, l0r, gtb, gtl, cb, isg,
+            syb, syl, rows, af, at, r0, k0)
+
+    rep = P()
+    lane = P(axis)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, rep, lane, lane, lane, P(axis, None), lane,
+                  lane, lane, lane, lane, lane, lane, rep),
+        out_specs=lane,
+    ))

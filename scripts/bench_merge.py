@@ -81,7 +81,7 @@ def main():
         print("root merge %dM->%dM: %.2fs  (%.2e chain queries/s)"
               % (half >> 20, (n - half) >> 20, dt, qps))
     tb, = (text[(sa_np - 1) % n],)
-    assert np.array_equal(merged.bwt, tb.astype(np.uint8))
+    assert np.array_equal(ms._region_bwt(ctx, merged), tb.astype(np.uint8))
     print("root merge bit-exact: OK")
 
 

@@ -69,6 +69,12 @@ def main():
     if len(sys.argv) > 4:          # explicit window list, "full" or log2
         windows = [None if a == "full" else 1 << int(a)
                    for a in sys.argv[4].split(",")]
+        for w in windows:
+            if w is not None and w >= n:
+                # base = (n - w) // 2 would go negative and wrap through
+                # np.uint32 — the probe would silently walk garbage ranks
+                sys.exit("window 2^%d >= n=%d: pass 'full' for the "
+                         "unconfined walk" % (w.bit_length() - 1, n))
     else:
         windows = [None] + [w for w in (1 << 24, 1 << 20, 1 << 16)
                             if w < n]

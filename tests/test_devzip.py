@@ -1,0 +1,188 @@
+"""Device-resident interleave (ops/devzip.py) vs the numpy oracle.
+
+The oracle is the gap-guided zip definition itself (the reference's
+merge of two BWT streams, SURVEY.md section 3.1 phase 3): for r = 0..B
+emit gap[r] left symbols then right[r]."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bwtb3m_tpu.ops.devzip import (cnt_le_at_ranks, count_right_before,
+                                   device_interleave, gap_row_cum_excl,
+                                   rows_from_host_bwt, rows_to_host_bwt,
+                                   _bits_for)
+
+
+def _oracle(gap, left, right):
+    cnt_le = np.cumsum(gap.astype(np.int64))
+    out = np.empty(len(left) + len(right), np.uint8)
+    M = len(right)
+    out[np.arange(M) + cnt_le[:M]] = right
+    out[np.repeat(np.arange(M + 1), gap) + np.arange(len(left))] = left
+    return out
+
+
+def _gap_device(gap, dtype=np.uint16):
+    from bwtb3m_tpu.ops.gapdev import _pad_pow2
+    grows = _pad_pow2((len(gap) + 255) // 256, lo=4)
+    g = np.zeros((grows, 256), dtype)
+    g.reshape(-1)[: len(gap)] = gap.astype(dtype)
+    return jnp.asarray(g)
+
+
+def _random_case(rng, A, B, sigma):
+    left = rng.integers(0, sigma, A).astype(np.uint8)
+    right = rng.integers(0, sigma, B).astype(np.uint8)
+    # random composition of A into B+1 cells, with some heavy cells
+    cuts = np.sort(rng.integers(0, A + 1, B))
+    gap = np.diff(np.concatenate([[0], cuts, [A]])).astype(np.int64)
+    return left, right, gap
+
+
+@pytest.mark.parametrize("sigma", [4, 200])
+@pytest.mark.parametrize("A,B", [(700, 900), (4096, 4096), (1, 5),
+                                 (5000, 3), (300, 0)])
+def test_device_interleave_matches_oracle(sigma, A, B):
+    rng = np.random.default_rng(A * 7 + B + sigma)
+    left, right, gap = _random_case(rng, A, B, sigma)
+    want = _oracle(gap, left, right)
+    bits = _bits_for(sigma)
+    gd = _gap_device(gap)
+    rc = gap_row_cum_excl(gd)
+    lr = rows_from_host_bwt(left, sigma)
+    rr = rows_from_host_bwt(right, sigma)
+    out = device_interleave(lr, A, rr, B, gd, rc, bits)
+    got = rows_to_host_bwt(out, A + B, bits)
+    assert np.array_equal(got, want)
+
+
+def test_device_interleave_int32_gap_heavy_cells():
+    """int32 histogram (the u16-wrap rerun dtype) with cells > 2^16."""
+    rng = np.random.default_rng(3)
+    A, B, sigma = 1 << 18, 300, 4
+    left = rng.integers(0, sigma, A).astype(np.uint8)
+    right = rng.integers(0, sigma, B).astype(np.uint8)
+    gap = np.zeros(B + 1, np.int64)
+    gap[7] = 1 << 17          # wraps a u16 cell twice
+    gap[B] = A - (1 << 17)
+    want = _oracle(gap, left, right)
+    gd = _gap_device(gap, np.int32)
+    rc = gap_row_cum_excl(gd)
+    lr = rows_from_host_bwt(left, sigma)
+    rr = rows_from_host_bwt(right, sigma)
+    out = device_interleave(lr, A, rr, B, gd, rc, 4)
+    got = rows_to_host_bwt(out, A + B, 4)
+    assert np.array_equal(got, want)
+
+
+def test_count_right_before_and_cnt_le():
+    rng = np.random.default_rng(11)
+    A, B = 100000, 70000
+    cuts = np.sort(rng.integers(0, A + 1, B))
+    gap = np.diff(np.concatenate([[0], cuts, [A]])).astype(np.int64)
+    cnt_le = np.cumsum(gap)
+    p = np.arange(B) + cnt_le[:B]
+    gd = _gap_device(gap)
+    rc = gap_row_cum_excl(gd)
+    ts = rng.integers(0, A + B + 1, 50).astype(np.int64)
+    want = np.searchsorted(p, ts, side="left")
+    got = count_right_before(gd, rc, B, ts)
+    assert np.array_equal(got, want)
+    ranks = rng.integers(0, B + 1, 37).astype(np.int64)
+    assert np.array_equal(cnt_le_at_ranks(gd, rc, ranks), cnt_le[ranks])
+
+
+@pytest.mark.parametrize("sigma,n,nb", [(4, 5000, 4), (200, 4100, 3),
+                                        (5, 3000, 7)])
+def test_engine_device_tree_matches_host_tree(sigma, n, nb, monkeypatch,
+                                              tmp_path):
+    """blockwise_bwt_scaled with the device-resident tree is bit-identical
+    to the host-zip path (BWT, samples, r_start carried through hist)."""
+    from bwtb3m_tpu.engine.merge_scaled import blockwise_bwt_scaled
+    from bwtb3m_tpu.engine.options import BwtOptions
+    from bwtb3m_tpu.util.log import VerboseLog
+
+    rng = np.random.default_rng(sigma + n)
+    text = rng.integers(0, sigma, n).astype(np.int32)
+    opts = BwtOptions(input_path="x",
+                      output_filename=str(tmp_path / "t.bwt"),
+                      max_block_symbols=-(-n // nb))
+    monkeypatch.setenv("BWTB3M_DEVICE_TREE", "0")
+    host = blockwise_bwt_scaled(text, sigma, opts, VerboseLog(0),
+                                sample_rate=256, lane_bucket=64)
+    monkeypatch.setenv("BWTB3M_DEVICE_TREE", "1")
+    dev = blockwise_bwt_scaled(text, sigma, opts, VerboseLog(0),
+                               sample_rate=256, lane_bucket=64)
+    for h, d in zip(host, dev):
+        assert np.array_equal(h, d)
+
+
+def test_engine_device_tree_u16_rerun(monkeypatch, tmp_path):
+    """Periodic text wraps no u16 cell at this size; stub the checksum to
+    force the per-pair int32 rerun inside the device tree and pin the
+    result against the host tree."""
+    from bwtb3m_tpu.engine.merge_scaled import blockwise_bwt_scaled
+    from bwtb3m_tpu.engine.options import BwtOptions
+    from bwtb3m_tpu.ops.gapdev import DeviceGapRunner
+    from bwtb3m_tpu.util.log import VerboseLog
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 4, 64).astype(np.int32)
+    text = np.tile(base, 64)
+    opts = BwtOptions(input_path="x",
+                      output_filename=str(tmp_path / "t.bwt"),
+                      max_block_symbols=2048)
+    monkeypatch.setenv("BWTB3M_DEVICE_TREE", "0")
+    host = blockwise_bwt_scaled(text, 4, opts, VerboseLog(0),
+                                sample_rate=128, lane_bucket=32)
+    monkeypatch.setenv("BWTB3M_DEVICE_TREE", "1")
+    real_checksum = DeviceGapRunner.gap_checksum
+    calls = {"n": 0}
+
+    def fake_checksum(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real_checksum(self) - 1
+        return real_checksum(self)
+
+    monkeypatch.setattr(DeviceGapRunner, "gap_checksum", fake_checksum)
+    dev = blockwise_bwt_scaled(text, 4, opts, VerboseLog(0),
+                               sample_rate=128, lane_bucket=32)
+    assert calls["n"] >= 2
+    for h, d in zip(host, dev):
+        assert np.array_equal(h, d)
+
+
+def test_level_global_offsets():
+    """row0/cum_base address one merge's span of a level-global gap (the
+    batched path): results must equal the per-pair layout."""
+    rng = np.random.default_rng(5)
+    A, B, sigma = 3000, 2600, 4
+    left, right, gap = _random_case(rng, A, B, sigma)
+    want = _oracle(gap, left, right)
+    # embed at row base 8 of a bigger histogram with junk before/after
+    from bwtb3m_tpu.ops.gapdev import _pad_pow2
+    row0 = 8
+    cells0 = row0 * 256
+    total = cells0 + (B + 1)
+    grows = _pad_pow2((total + 255) // 256 + 4, lo=4)
+    g = np.zeros((grows, 256), np.uint16)
+    g.reshape(-1)[:cells0] = rng.integers(0, 9, cells0)
+    g.reshape(-1)[cells0 : cells0 + B + 1] = gap.astype(np.uint16)
+    g.reshape(-1)[cells0 + B + 1 + 256 :] = 3   # junk past the gutter
+    gd = jnp.asarray(g)
+    rc = gap_row_cum_excl(gd)
+    cum_base = rc[row0]
+    lr = rows_from_host_bwt(left, sigma)
+    rr = rows_from_host_bwt(right, sigma)
+    out = device_interleave(lr, A, rr, B, gd, rc, 4, row0=row0,
+                            cum_base=cum_base)
+    got = rows_to_host_bwt(out, A + B, 4)
+    assert np.array_equal(got, want)
+    cnt_le = np.cumsum(gap)
+    ranks = rng.integers(0, B + 1, 23).astype(np.int64)
+    assert np.array_equal(
+        cnt_le_at_ranks(gd, rc, ranks, row0=row0, cum_base=cum_base),
+        cnt_le[ranks])
