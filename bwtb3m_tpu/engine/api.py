@@ -26,6 +26,26 @@ from .options import BwtOptions
 from .result import BwtResult
 
 
+def _spill_text(symbols: np.ndarray, options: BwtOptions,
+                log: VerboseLog):
+    """Bounded host memory (reference: the mem= semi-external
+    discipline, /root/reference/src/bwtb3m.cpp:47): when ``hostmem=`` is
+    set and text + final BWT would exceed it, the text moves to a
+    read-only memmap under tmp_prefix — the engine (gt comparator, text
+    packing, block histograms) reads it page-by-page, so resident set
+    stays bounded by the page cache, which the kernel reclaims under
+    pressure.  Returns (symbols, spill_path or None)."""
+    hostmem = getattr(options, "host_mem", None)
+    n = len(symbols)
+    if not hostmem or 2 * n <= hostmem:
+        return symbols, None
+    path = options.tmp_prefix + "_text.u8"
+    np.asarray(symbols, np.uint8).tofile(path)
+    log.v("hostmem=%d: text (%d bytes) spilled to memmap %s"
+          % (hostmem, n, path))
+    return np.memmap(path, np.uint8, "r"), path
+
+
 def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtResult:
     log = log or VerboseLog(options.verbose)
     rtc = RealTimeClock()
@@ -83,9 +103,20 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             # reference scale (>2^31 symbols, bounded host memory)
             from .merge_scaled import blockwise_bwt_scaled
             eff_sigma = sigma if symmap is None else len(symmap)
-            with log.span("device suffix sort (scaled blockwise merge)"):
-                bwt, spos, srank, _hist = blockwise_bwt_scaled(
-                    symbols, eff_sigma, options, log, sample_rate=prate)
+            symbols, spill_path = _spill_text(symbols, options, log)
+            try:
+                with log.span(
+                        "device suffix sort (scaled blockwise merge)"):
+                    bwt, spos, srank, _hist = blockwise_bwt_scaled(
+                        symbols, eff_sigma, options, log,
+                        sample_rate=prate)
+            finally:
+                if spill_path:
+                    symbols = None
+                    try:
+                        os.remove(spill_path)
+                    except OSError:
+                        pass
             # bwt stays uint8 — at 3.2G an int32 copy is 12.8 GB of host
             # RAM for nothing (the codecs and bincount take uint8)
             if symmap is not None:

@@ -42,6 +42,17 @@ class BwtOptions:
     # (ops/gapbatch.py) when their combined state fits HBM; batchmerges=0
     # forces the per-pair path
     batch_merges: bool = True
+    # durable merge-tree checkpointing (reference: serializable block
+    # jobs + tmpprefix durability, bwtb3m.cpp:52-53 / checkbwt.cpp:24):
+    # persist completed regions >= checkpoint_min_symbols under
+    # tmp_prefix and resume from the deepest complete tree nodes
+    checkpoint: bool = True
+    checkpoint_min_symbols: int = 1 << 26
+    # bounded host memory (reference: the mem=2G semi-external
+    # discipline, bwtb3m.cpp:47): when set and the text would not
+    # comfortably fit, the engine reads it through a read-only memmap
+    # under tmp_prefix instead of RAM
+    host_mem: Optional[int] = None
 
     def __post_init__(self):
         if self.max_block_symbols is None:
@@ -87,4 +98,8 @@ class BwtOptions:
             preisa_sampling_rate=(
                 ai.get_int("preisasamplingrate", 0) or None),
             batch_merges=ai.get_bool("batchmerges", True),
+            checkpoint=ai.get_bool("checkpoint", True),
+            checkpoint_min_symbols=ai.get_int("checkpointminsize",
+                                              1 << 26),
+            host_mem=ai.get_int("hostmem", 0) or None,
         )
