@@ -138,6 +138,28 @@ def test_select_ssa(tmp_path):
     np.testing.assert_array_equal(got, sa[wanted])
 
 
+def test_select_ssa_bwtonly(tmp_path):
+    """BwtSelectSSA semantics: arbitrary ranks from .bwt + .preisa ALONE
+    (no sampled .sa — the reference selects mid-lcpbit on a bwtonly=1
+    build, /root/reference/src/lcpbit.cpp:2417-2441)."""
+    from bwtb3m_tpu.engine.ssa import select_ssa
+    rng = np.random.default_rng(23)
+    data = bytes(rng.integers(97, 101, size=3000, dtype=np.uint8))
+    inp = _write_bytes(tmp_path, data, "selb.bin")
+    res = compute_bwt(BwtOptions(input_path=inp, bwt_only=True,
+                                 preisa_sampling_rate=128, verbose=0))
+    assert res.sa_path is None
+    text = np.frombuffer(data, np.uint8).astype(np.int32)
+    sa = naive_circular_sa(text)
+    wanted = np.unique(rng.integers(0, len(text), 100))
+    got = select_ssa(res.bwt_path, wanted)
+    np.testing.assert_array_equal(got, sa[wanted])
+    # ranks that are themselves preisa samples resolve with zero steps
+    pr_r, _pp, _ = res.load_preisa()
+    got0 = select_ssa(res.bwt_path, pr_r[:8])
+    np.testing.assert_array_equal(got0, sa[pr_r[:8]])
+
+
 def test_ssa_wrap_lane_fused(tmp_path):
     """The fused SSA harvest's wrap lane (seeded at position 0, walking
     n-1, n-2, ...) must record circularly wrapped positions and shift its
