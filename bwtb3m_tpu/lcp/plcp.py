@@ -205,6 +205,177 @@ def _kasai_chunk(steps: int, text_rows, phi, isa, plcp, p, l, pend, n, a):
     return plcp, p, l
 
 
+# --------------------------------------------------------------------------
+# device-resident path: full SA/ISA/Phi in HBM + word-window Kasai
+# --------------------------------------------------------------------------
+#
+# Round 3 measured the slab machine at 0.24 Mbp/s on 400M — dominated by
+# (a) fetching the rate-1 SA through the relay and re-uploading phi/isa
+# slabs (host round trips), and (b) a per-step [L, 128] row gather +
+# 128-wide mask select per text read.  This path keeps EVERYTHING in
+# HBM (sa from the LF walk never leaves the device; isa/phi are device
+# scatters; the succinct bit vector is encoded on device and only the
+# packed words are downloaded) and extends matches 8 symbols per step:
+# one u32 window holds 8 nibbles, XOR + lowest-set-bit popcount counts
+# the matching prefix exactly.  Reference role: lcpbit's Phi finish
+# (/root/reference/src/lcpbit.cpp:2371-2850) whose inner loop is the
+# same naive circular extension, batched here over 2^17 lanes.
+
+def _pack_text_words(text: np.ndarray) -> np.ndarray:
+    """Host int32/uint8 symbols (sigma <= 16) -> uint32 words of 8
+    LSB-first nibbles, one pad word for cross-boundary window reads."""
+    from .. import native
+    t = np.ascontiguousarray(text, np.uint8)
+    pad = (-len(t)) % 8
+    if pad:
+        t = np.concatenate([t, np.zeros(pad, np.uint8)])
+    packed = native.pack_bits_u8(t, 4)
+    if packed is None:
+        from ..io.compact import pack_bits
+        packed = np.asarray(pack_bits(t.astype(np.int64), 4), np.uint8)
+    words = np.frombuffer(
+        np.concatenate([np.asarray(packed, np.uint8),
+                        np.zeros(4, np.uint8)]).tobytes(), "<u4")
+    return words.copy()
+
+
+def _kasai_chunk2_impl(steps: int, text_words, phi, isa, plcp, p, l,
+                       pend, n, a):
+    """Word-window batched Kasai: each step either commits PLCP[p] = l
+    or extends the current match by 1..8 symbols (the XOR-popcount
+    count of matching nibbles in one u32 window)."""
+    from ..ops.idx64 import take_u32
+
+    def win(idx):
+        wi = idx >> jnp.uint32(3)
+        w0 = take_u32(text_words, wi)
+        w1 = take_u32(text_words, wi + jnp.uint32(1))
+        sh = (idx & jnp.uint32(7)) * jnp.uint32(4)
+        lo = w0 >> sh
+        hi = jnp.where(sh == 0, jnp.uint32(0),
+                       w1 << (jnp.uint32(32) - sh))
+        return lo | hi
+
+    slab = plcp.shape[0] - 1
+
+    def sl(p):
+        return jnp.minimum(p - a, jnp.uint32(slab - 1)).astype(jnp.int32)
+
+    def body(_i, carry):
+        plcp, p, l, q = carry
+        active = p < pend
+        r = jnp.take(isa, sl(p))
+        has_prev = r != 0
+        pl = p + l
+        pl = jnp.where(pl >= n, pl - n, pl)
+        ql = q + l
+        ql = jnp.where(ql >= n, ql - n, ql)
+        x = win(pl) ^ win(ql)
+        # matching nibble count: lowest set bit's nibble index; x == 0
+        # falls out as popcount(0xFFFFFFFF) >> 2 = 8
+        k = (lax.population_count((x & (jnp.uint32(0) - x))
+                                  - jnp.uint32(1)) >> jnp.uint32(2))
+        k = jnp.minimum(jnp.minimum(k, n - pl),
+                        jnp.minimum(n - ql, n - l))
+        extend = jnp.logical_and(jnp.logical_and(active, has_prev),
+                                 k >= 1)
+        commit = jnp.logical_and(active, jnp.logical_not(extend))
+        val = jnp.where(has_prev, l, 0)
+        idx = jnp.where(commit, (p - a).astype(jnp.int32), slab)
+        plcp = plcp.at[idx].set(val, mode="drop")
+        lnext = jnp.where(extend, l + k, l)
+        dec = jnp.logical_and(commit, jnp.logical_and(has_prev, l > 0))
+        lnext = jnp.where(dec, l - 1, lnext)
+        lnext = jnp.where(jnp.logical_and(commit,
+                                          jnp.logical_not(has_prev)),
+                          jnp.uint32(0), lnext)
+        l = lnext
+        p = jnp.where(commit, p + 1, p)
+        q2 = jnp.take(phi, sl(p))
+        q = jnp.where(commit, q2, q)
+        return (plcp, p, l, q)
+
+    q0 = jnp.take(phi, sl(p))
+    plcp, p, l, q = lax.fori_loop(0, steps, body, (plcp, p, l, q0))
+    return plcp, p, l
+
+
+_kasai_chunk2 = partial(jax.jit, static_argnums=(0,),
+                        donate_argnums=(4,))(_kasai_chunk2_impl)
+
+
+def compute_plcp_device(text: np.ndarray, sigma: int, sa_dev,
+                        lanes: int = 1 << 17):
+    """Fully device-resident PLCP for texts whose SA/ISA/Phi fit HBM
+    (~17 B/symbol): sa_dev is the DEVICE uint32 rate-1 SA (e.g. from
+    engine.ssa.compute_sa_device — it never crosses the relay).
+    Returns the device uint32 PLCP array [n]."""
+    from ..ops.idx64 import scatter_set_u32
+
+    n = len(text)
+    assert sigma <= 16 and n < (1 << 31)
+    words = jnp.asarray(_pack_text_words(text))
+    iota = lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    sa32 = sa_dev.astype(jnp.uint32)
+    isa = scatter_set_u32(jnp.zeros(n, jnp.uint32), sa32, iota)
+    phi = scatter_set_u32(jnp.zeros(n, jnp.uint32), sa32[1:], sa32[:-1])
+    L = min(lanes, n)
+    bounds = np.linspace(0, n, L + 1).astype(np.int64)
+    p = jnp.asarray(bounds[:-1].astype(np.uint32))
+    pend = jnp.asarray(bounds[1:].astype(np.uint32))
+    l = jnp.zeros(L, jnp.uint32)
+    plcp_dev = jnp.zeros(n + 1, jnp.uint32)
+    while True:
+        plcp_dev, p, l = _kasai_chunk2(
+            2048, words, phi, isa, plcp_dev, p, l, pend,
+            jnp.uint32(n), jnp.uint32(0))
+        if bool(np.asarray(jnp.all(p >= pend))):
+            break
+    return plcp_dev[:n]
+
+
+def encode_plcp_bits_device(plcp_dev) -> Tuple[int, np.ndarray]:
+    """Succinct 2n-bit unary encoding ON DEVICE; only the packed bytes
+    cross the relay (16x less than the PLCP values).  Returns
+    (nbits, bytes little-bit-endian)."""
+    from ..ops.idx64 import scatter_set_u32
+
+    n = int(plcp_dev.shape[0])
+    if n == 0:
+        return 0, np.zeros(0, np.uint8)
+    last = int(plcp_dev[n - 1]) + 2 * (n - 1)
+    nbits = last + 1
+    nbytes = (nbits + 7) // 8
+
+    @partial(jax.jit, static_argnums=(1,))
+    def enc(plcp, nb: int):
+        iota = lax.broadcasted_iota(jnp.uint32, (plcp.shape[0],), 0)
+        one_pos = plcp + jnp.uint32(2) * iota
+        bits = scatter_set_u32(jnp.zeros(nb * 8, jnp.uint8), one_pos,
+                               jnp.ones(plcp.shape[0], jnp.uint8))
+        out = jnp.zeros(nb, jnp.uint8)
+        for b in range(8):
+            out = out | (bits[b::8] << jnp.uint8(b))
+        return out
+
+    by = np.asarray(enc(plcp_dev, nbytes), np.uint8)
+    return nbits, by
+
+
+def write_plcp_bytes(path: str, n: int, nbits: int,
+                     by: np.ndarray) -> None:
+    """PLB1 writer from pre-packed bits (device encoder output)."""
+    pad = (-len(by)) % 8
+    if pad:
+        by = np.concatenate([by, np.zeros(pad, np.uint8)])
+    words = by.view("<u8")
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        serial.write_u64(f, n)
+        serial.write_u64(f, nbits)
+        serial.write_u64_array(f, np.asarray(words, np.uint64))
+
+
 def compute_plcp_scaled(text: np.ndarray, sigma: Optional[int] = None,
                         lanes: int = 1 << 17, sa_isa=None,
                         slab_positions: int = 1 << 28
@@ -293,6 +464,19 @@ def compute_plcp(text: np.ndarray, sigma: Optional[int] = None
     if n == 1:
         return np.zeros(1, np.int64), np.zeros(1, np.int64)
     if n > (1 << 22) and sigma <= 16:
+        import os
+        budget = int(os.environ.get("BWTB3M_PLCP_DEV_BYTES", 11 * 10 ** 9))
+        if n * 18 <= budget:
+            # SA/ISA/Phi/PLCP all fit HBM: device-resident fast path
+            from ..ops.doubling import suffix_array
+            from ..util.devices import device_scope
+            sa, _isa, _bwt = suffix_array(text, sigma)
+            with device_scope(n):
+                plcp_dev = compute_plcp_device(
+                    text, sigma, jnp.asarray(np.asarray(sa),
+                                             dtype=jnp.uint32))
+                return (np.asarray(plcp_dev).astype(np.int64),
+                        np.asarray(sa, dtype=np.int64))
         return compute_plcp_scaled(text, sigma)
     w = _pack_width(sigma)
     n_levels = 1

@@ -57,44 +57,75 @@ def main():
             max_block_symbols=128 * 1000 * 1000, verbose=1))
         stats["build_s"] = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    # rate-1 SA via the LF walk; ISA rate above n (single entry) — the
-    # full ISA is just the inverse permutation of the full SA, inverted
-    # on host instead of harvesting every step's rank through the relay
-    sa_path, _isa_path = compute_ssa(bwt_path, 1, 1 << 40, log=log)
-    stats["ssa_rate1_s"] = round(time.time() - t0, 1)
-    log.v("rate-1 SA walk: %.1fs" % stats["ssa_rate1_s"])
-
-    _r, sa = formats.read_sampled_array(sa_path)
-    isa = np.zeros(n, np.int64)
-    isa[sa] = np.arange(n, dtype=np.int64)
     text, sigma = parse_input_type("pacterm").load(pac)
-    t0 = time.time()
-    plcp, _sa = compute_plcp_scaled(
-        text.astype(np.int32), sigma, sa_isa=(sa, isa))
-    stats["plcp_s"] = round(time.time() - t0, 1)
-    log.v("slab-striped PLCP: %.1fs (%.1f Mbp/s)"
-          % (stats["plcp_s"], n / 1e6 / stats["plcp_s"]))
-
-    t0 = time.time()
+    dev_budget = int(os.environ.get("BWTB3M_PLCP_DEV_BYTES",
+                                    11 * 10 ** 9))
+    use_dev = n * 18 <= dev_budget and os.environ.get(
+        "BWTB3M_PLCP_SLAB") != "1"
     out = os.path.join(work, "t%dm.lcpbit" % mbp)
-    write_plcp_file(out, plcp)
-    stats["write_s"] = round(time.time() - t0, 1)
+    if use_dev:
+        # round-4 device-resident pipeline: the rate-1 SA, ISA, Phi and
+        # PLCP never leave HBM; only the packed succinct bits download
+        import jax.numpy as jnp
+        from bwtb3m_tpu.engine.ssa import compute_sa_device
+        from bwtb3m_tpu.lcp.plcp import (compute_plcp_device,
+                                         encode_plcp_bits_device,
+                                         write_plcp_bytes)
+        t0 = time.time()
+        sa_dev, _n = compute_sa_device(bwt_path, log=log)
+        stats["ssa_rate1_s"] = round(time.time() - t0, 1)
+        log.v("rate-1 SA walk (device): %.1fs" % stats["ssa_rate1_s"])
+        t0 = time.time()
+        plcp_dev = compute_plcp_device(text.astype(np.int32), sigma,
+                                       sa_dev)
+        float(jnp.sum(plcp_dev, dtype=jnp.uint32) * 0 + 1)  # force
+        stats["plcp_s"] = round(time.time() - t0, 1)
+        log.v("device PLCP: %.1fs (%.1f Mbp/s)"
+              % (stats["plcp_s"], n / 1e6 / stats["plcp_s"]))
+        t0 = time.time()
+        nbits, by = encode_plcp_bits_device(plcp_dev)
+        write_plcp_bytes(out, n, nbits, by)
+        stats["write_s"] = round(time.time() - t0, 1)
+        rng = np.random.default_rng(1)
+        # verify: decode the file and compare a dense sample against the
+        # device PLCP, then the independent circular-extension oracle
+        idx = np.sort(rng.integers(0, n, 2_000_000))
+        plcp_at = lambda ii: np.asarray(  # noqa: E731
+            jnp.take(plcp_dev, jnp.asarray(ii))).astype(np.int64)
+        dec = PLCPBitDecoder(out, n=n)
+        ok = bool(np.array_equal(dec.all()[idx], plcp_at(idx)))
+        sa_np = np.asarray(sa_dev).astype(np.int64)
+        isa_np = np.zeros(n, np.int64)
+        isa_np[sa_np] = np.arange(n, dtype=np.int64)
+        sp = rng.integers(1, n, 2000)
+        spv = plcp_at(sp)
+    else:
+        t0 = time.time()
+        sa_path, _isa_path = compute_ssa(bwt_path, 1, 1 << 40, log=log)
+        stats["ssa_rate1_s"] = round(time.time() - t0, 1)
+        log.v("rate-1 SA walk: %.1fs" % stats["ssa_rate1_s"])
+        _r, sa_np = formats.read_sampled_array(sa_path)
+        isa_np = np.zeros(n, np.int64)
+        isa_np[sa_np] = np.arange(n, dtype=np.int64)
+        t0 = time.time()
+        plcp, _sa = compute_plcp_scaled(
+            text.astype(np.int32), sigma, sa_isa=(sa_np, isa_np))
+        stats["plcp_s"] = round(time.time() - t0, 1)
+        log.v("slab-striped PLCP: %.1fs (%.1f Mbp/s)"
+              % (stats["plcp_s"], n / 1e6 / stats["plcp_s"]))
+        t0 = time.time()
+        write_plcp_file(out, plcp)
+        stats["write_s"] = round(time.time() - t0, 1)
+        rng = np.random.default_rng(1)
+        idx = np.sort(rng.integers(0, n, 2_000_000))
+        dec = PLCPBitDecoder(out, n=n)
+        ok = bool(np.array_equal(dec.all()[idx], plcp[idx]))
+        sp = rng.integers(1, n, 2000)
+        spv = plcp[sp]
 
-    # verification: native Phi/Kasai oracle on a position sample (full
-    # O(n^2)-free check; the oracle walk is O(n) total but host-serial,
-    # so verify a dense random sample re-read from the .lcpbit file)
-    dec = PLCPBitDecoder(out, n=n)
-    rng = np.random.default_rng(1)
-    idx = np.sort(rng.integers(0, n, 2_000_000))
-    got = dec.all()[idx]
-    ok = bool(np.array_equal(got, plcp[idx]))
     # independent spot oracle: direct circular extension at 2k positions
-    sp = rng.integers(1, n, 2000)
-    isa_np = np.asarray(isa)
-    sa_np = np.asarray(sa)
     bad = 0
-    for p in sp:
+    for p, got_l in zip(sp, spv):
         r = isa_np[p]
         if r == 0:
             want = 0
@@ -104,11 +135,19 @@ def main():
             while l < n and text[(p + l) % n] == text[(q + l) % n]:
                 l += 1
             want = l
-        if plcp[p] != want:
+        if got_l != want:
             bad += 1
     stats["verify_ok"] = bool(ok and bad == 0)
     stats["spot_bad"] = bad
+    stats["total_mbps"] = round(
+        n / 1e6 / (stats["ssa_rate1_s"] + stats["plcp_s"]
+                   + stats["write_s"]), 3)
     print(json.dumps(stats))
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_logs")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "plcp_%dm.json" % mbp), "w") as f:
+        json.dump(stats, f, indent=1)
     if not stats["verify_ok"]:
         sys.exit(1)
 
