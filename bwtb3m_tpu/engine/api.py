@@ -105,11 +105,12 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             eff_sigma = sigma if symmap is None else len(symmap)
             symbols, spill_path = _spill_text(symbols, options, log)
             try:
+                lb = getattr(options, "lane_bucket", None) or (1 << 16)
                 with log.span(
                         "device suffix sort (scaled blockwise merge)"):
                     bwt, spos, srank, _hist = blockwise_bwt_scaled(
                         symbols, eff_sigma, options, log,
-                        sample_rate=prate)
+                        sample_rate=prate, lane_bucket=lb)
             finally:
                 if spill_path:
                     symbols = None

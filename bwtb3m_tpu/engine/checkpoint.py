@@ -179,6 +179,16 @@ class MergeCheckpointer:
         if (e - s < self.min_symbols or (s, e) in self._saved
                 or (s, e) in self._offered):
             return
+        # backlog cap: each queued save pins its region's device rows
+        # (the packed download happens in the worker); letting levels
+        # pile up would hold dead regions in HBM at flagship scale.
+        # Skipping a save only degrades checkpoint granularity.
+        self._pending = [f for f in self._pending if not f.done()]
+        if len(self._pending) >= 2:
+            if self.log:
+                self.log.v("checkpoint backlog: skipping save of "
+                           "[%d,%d)" % (s, e))
+            return
         self._offered.add((s, e))
         args = (s, e, self.bits, bwt_get, region.samp_pos.copy(),
                 region.samp_rank.copy(), region.r_start,

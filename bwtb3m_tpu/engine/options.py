@@ -53,6 +53,10 @@ class BwtOptions:
     # comfortably fit, the engine reads it through a read-only memmap
     # under tmp_prefix instead of RAM
     host_mem: Optional[int] = None
+    # walk-lane budget of the scaled engine's chain/anchor kernels
+    # (numthreads analog for the device): default 2^16; small CPU-mesh
+    # runs want this low — padded lanes cost compute even when masked
+    lane_bucket: Optional[int] = None
 
     def __post_init__(self):
         if self.max_block_symbols is None:
@@ -102,4 +106,5 @@ class BwtOptions:
             checkpoint_min_symbols=ai.get_int("checkpointminsize",
                                               1 << 26),
             host_mem=ai.get_int("hostmem", 0) or None,
+            lane_bucket=ai.get_int("lanes", 0) or None,
         )

@@ -118,7 +118,8 @@ def test_hostmem_text_spill(tmp_path):
     inp = str(tmp_path / "h.bin")
     data.tofile(inp)
     kw = dict(input_path=inp, engine="merge", bwt_only=True,
-              max_block_symbols=2048, preisa_sampling_rate=256, verbose=0)
+              max_block_symbols=2048, preisa_sampling_rate=256, verbose=0,
+              lane_bucket=32)
     res_ref = compute_bwt(BO(output_filename=str(tmp_path / "a.bwt"),
                              **kw))
     res_sp = compute_bwt(BO(output_filename=str(tmp_path / "b.bwt"),

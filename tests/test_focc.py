@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bwtb3m_tpu.ops.focc import (
     access_batch_f, backward_step_f, build_focc, lf_step_batch_f,
@@ -69,6 +70,7 @@ def test_focc_backward_search_counts():
         assert count == expect
 
 
+@pytest.mark.slow
 def test_focc_bitplane_vs_byterow():
     """The sigma<=8 bit-plane structure (ops/focc_bp.py) must agree with
     the byte-row FusedOcc on every query type, including i == n and the

@@ -74,6 +74,7 @@ def test_batched_bytestream_sigma256(tmp_path):
     assert np.array_equal(srank, np.asarray(isa)[spos])
 
 
+@pytest.mark.slow
 def test_batched_u16_wrap_falls_back_per_pair(tmp_path):
     # a^(n-1) b across 4 blocks: >= 2^16 left suffixes land between one
     # right-rotation pair in the first-level merges, wrapping the u16

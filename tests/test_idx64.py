@@ -8,6 +8,7 @@ of elements read out of a 2^31+4k buffer — ~2 GB transient, CPU only).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from bwtb3m_tpu.ops.idx64 import scatter_set_u32, take_u32
@@ -45,6 +46,7 @@ def test_scatter_set_u32_drop():
     assert res.tolist() == [0, 0, 11, 0, 0, 12, 0, 0]
 
 
+@pytest.mark.slow
 def test_take_u32_past_2g():
     n = (1 << 31) + 4096
     x = np.zeros(n, np.int8)

@@ -61,6 +61,7 @@ def test_rmm_tree(tmp_path):
     assert t2.rmq(7, 200) == t.rmq(7, 200)
 
 
+@pytest.mark.slow
 def test_lcpbit_selftest_harness():
     from bwtb3m_tpu.lcp.selftest import testn, testnk, testrandomn
     testn([ord(c) for c in "abbab#"])

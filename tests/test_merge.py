@@ -106,6 +106,7 @@ def test_blockwise_many_segments(tmp_path):
     _check(tmp_path, text, max_block=200, segments=16, anchor=16)
 
 
+@pytest.mark.slow
 def test_engine_dispatches_to_blockwise(tmp_path):
     from bwtb3m_tpu.engine import BwtOptions as BO, check_bwt, compute_bwt
     data = bytes(random_string(3000, 4, seed=77).astype(np.uint8) + 97)

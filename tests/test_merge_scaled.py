@@ -64,6 +64,7 @@ def test_scaled_pacterm_like(tmp_path):
     assert np.array_equal(srank, np.asarray(isa)[spos])
 
 
+@pytest.mark.slow
 def test_scaled_via_compute_bwt_engine_merge(tmp_path):
     # end-to-end through the api: engine="merge" now routes to the scaled
     # implementation; checkbwt + bwtcomputessa must accept its outputs
@@ -136,6 +137,7 @@ def test_scaled_bytestream_sigma256(tmp_path):
     assert np.array_equal(hist, np.bincount(text, minlength=256))
 
 
+@pytest.mark.slow
 def test_scaled_bytestream_end_to_end(tmp_path):
     # bytestream through the api: scaled engine + fused checkbwt + ssa at
     # sigma 256 (round-3: memory-bounded construction for wide alphabets)
@@ -181,6 +183,7 @@ def test_scaled_wide_alphabet_rank_compacted(tmp_path):
                           np.asarray(bwt_d, np.int64))
 
 
+@pytest.mark.slow
 def test_scaled_periodic_scale_memory_bound(tmp_path):
     # VERDICT r2 weak #6: prove the block-sort memory bound holds on a
     # LARGE periodic text (n ~ 10^6, period << n). The _resolve_tie_groups
