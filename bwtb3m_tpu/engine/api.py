@@ -141,6 +141,18 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             rl_encode(options.output_filename, bwt, sigma=sigma)
         files["bwt"] = options.output_filename
 
+    try:
+        from .merge_scaled import take_last_build_rows
+        rows_info = take_last_build_rows()
+        # the rows hold the engine's symbols: with a utf-8 rank-compaction
+        # (symmap) the .bwt file maps back to original symbols and the
+        # rows no longer match it — skip the hand-off there
+        if rows_info is not None and locals().get("symmap") is None:
+            from .result import register_device_rows
+            register_device_rows(options.output_filename, *rows_info)
+    except Exception:
+        pass
+
     hist = np.bincount(bwt, minlength=sigma).astype(np.int64)
     formats.write_hist(base + ".hist", formats.hist_from_array(hist))
     files["hist"] = base + ".hist"

@@ -52,6 +52,17 @@ class _RegionS:
     rows: object = None      # device packed rows (ops/devzip.py layout)
 
 
+_LAST_BUILD_ROWS = None
+
+
+def take_last_build_rows():
+    """(rows, n, sigma) of the most recent device-tree build, once."""
+    global _LAST_BUILD_ROWS
+    out = _LAST_BUILD_ROWS
+    _LAST_BUILD_ROWS = None
+    return out
+
+
 class _Hole:
     """Placeholder for a tree node fully covered by a saved ancestor
     region at resume: it occupies the node's slot in the level lists so
@@ -886,6 +897,15 @@ def blockwise_bwt_scaled(
             final = level[0]
             assert not isinstance(final, _Hole)
             bwt = _region_bwt(ctx, final)  # one packed download per build
+            # hand the final device rows to the result layer: an
+            # in-process checkbwt/ssa builds its rank structure from HBM
+            # instead of re-uploading the .bwt (engine/result.py).  Only
+            # when the host build would not dense-remap (all symbols
+            # present, bitplane-eligible sigma).
+            if (ctx.device_tree and sigma <= 8 and final.rows is not None
+                    and bool((final.hist > 0).all())):
+                global _LAST_BUILD_ROWS
+                _LAST_BUILD_ROWS = (final.rows, n, sigma)
             final.rows = None
             ok = True
         finally:

@@ -19,6 +19,22 @@ from ..ops.rank import build_occ
 # one-entry focc memo shared across BwtResult instances (see load_focc)
 _FOCC_CACHE: dict = {}
 
+# device-rows hand-off from the merge engine: compute_bwt registers the
+# final region's packed device rows here (keyed like _FOCC_CACHE) so an
+# in-process checkbwt/bwtcomputessa builds the rank structure straight
+# from HBM instead of re-uploading the .bwt through the relay.  Only
+# registered when no dense remap would apply (hist covers 0..sigma-1,
+# sigma <= 8), so the structure is identical to the host build's.
+_ROWS_CACHE: dict = {}
+
+
+def register_device_rows(bwt_path: str, rows, n: int, sigma: int) -> None:
+    import os
+    st = os.stat(bwt_path)
+    key = (os.path.abspath(bwt_path), st.st_mtime_ns, st.st_size, True)
+    _ROWS_CACHE.clear()    # hold at most one
+    _ROWS_CACHE[key] = (rows, n, sigma)
+
 
 class BwtResult:
     def __init__(self, meta: dict):
@@ -123,7 +139,13 @@ class BwtResult:
         hit = _FOCC_CACHE.get(key)
         if hit is not None:
             return hit
-        out = self._build_focc(dense)
+        rows_hit = _ROWS_CACHE.pop(key, None)
+        if rows_hit is not None:
+            from ..ops.focc_build import build_focc_from_rows
+            rows, n, sigma = rows_hit
+            out = (build_focc_from_rows(rows, n, sigma), None)
+        else:
+            out = self._build_focc(dense)
         _FOCC_CACHE.clear()   # hold at most one (rows are ~1 B/symbol HBM)
         _FOCC_CACHE[key] = out
         return out

@@ -138,6 +138,31 @@ def test_select_ssa(tmp_path):
     np.testing.assert_array_equal(got, sa[wanted])
 
 
+def test_device_rows_handoff(tmp_path):
+    """An in-process pipeline (merge build -> checkbwt -> ssa) consumes
+    the final region's device rows for the rank structure instead of
+    re-uploading the .bwt; results identical to a cold reload."""
+    from bwtb3m_tpu.engine import result as result_mod
+    from bwtb3m_tpu.engine.ssa import compute_ssa
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=5000, dtype=np.int32)
+    pacp = str(tmp_path / "h.pac")
+    write_pac(pacp, codes)
+    res = compute_bwt(BwtOptions(input_path=pacp, input_type="pacterm",
+                                 engine="merge", bwt_only=True,
+                                 max_block_symbols=2048, lane_bucket=32,
+                                 preisa_sampling_rate=256, verbose=0))
+    assert len(result_mod._ROWS_CACHE) == 1      # hand-off registered
+    text = np.concatenate([codes + 1, [0]]).astype(np.int32)
+    assert check_bwt(res, text)                  # consumes the rows
+    assert len(result_mod._ROWS_CACHE) == 0
+    sa_path, _ = compute_ssa(res.bwt_path, 16, 16, log=None)
+    from bwtb3m_tpu.io import formats as fmt
+    _r, sa_vals = fmt.read_sampled_array(sa_path)
+    np.testing.assert_array_equal(sa_vals, naive_circular_sa(text)[::16])
+
+
 def test_select_ssa_bwtonly(tmp_path):
     """BwtSelectSSA semantics: arbitrary ranks from .bwt + .preisa ALONE
     (no sampled .sa — the reference selects mid-lcpbit on a bwtonly=1
