@@ -71,6 +71,7 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
 
     # ---- phase 2+3: suffix sort (device) -------------------------------
     sa = isa = None
+    rows_out = None  # filled by the scaled engine when rows stay in HBM
     if options.engine == "sharded":
         import jax
 
@@ -104,13 +105,17 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             from .merge_scaled import blockwise_bwt_scaled
             eff_sigma = sigma if symmap is None else len(symmap)
             symbols, spill_path = _spill_text(symbols, options, log)
+            # rows hand-off only when the .bwt holds the engine's own
+            # symbols (a utf-8 symmap rewrites them on the way out)
+            rows_out = [] if symmap is None else None
             try:
                 lb = getattr(options, "lane_bucket", None) or (1 << 16)
                 with log.span(
                         "device suffix sort (scaled blockwise merge)"):
                     bwt, spos, srank, _hist = blockwise_bwt_scaled(
                         symbols, eff_sigma, options, log,
-                        sample_rate=prate, lane_bucket=lb)
+                        sample_rate=prate, lane_bucket=lb,
+                        rows_out=rows_out)
             finally:
                 if spill_path:
                     symbols = None
@@ -141,19 +146,23 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             rl_encode(options.output_filename, bwt, sigma=sigma)
         files["bwt"] = options.output_filename
 
-    try:
-        from .merge_scaled import take_last_build_rows
-        rows_info = take_last_build_rows()
-        # the rows hold the engine's symbols: with a utf-8 rank-compaction
-        # (symmap) the .bwt file maps back to original symbols and the
-        # rows no longer match it — skip the hand-off there
-        if rows_info is not None and locals().get("symmap") is None:
-            from .result import register_device_rows
-            register_device_rows(options.output_filename, *rows_info)
-    except Exception:
-        pass
-
     hist = np.bincount(bwt, minlength=sigma).astype(np.int64)
+
+    # device-rows hand-off: bind the final region's HBM rows to the .bwt
+    # just written so an in-process checkbwt/ssa skips the re-upload.
+    # The handle carries the build's identity (n, sigma, histogram) and
+    # register_device_rows verifies it against this .bwt's stats before
+    # binding — a handle from a different build is refused, not bound
+    # (reference role: the freshness-checked .hwt reuse,
+    # /root/reference/src/checkbwt.cpp:46-53).
+    rows_handle = rows_out or None
+    if rows_handle:
+        from .result import register_device_rows
+        try:
+            register_device_rows(options.output_filename, rows_handle[0],
+                                 n, sigma, hist)
+        except Exception as exc:  # hand-off is an optimization, not a gate
+            log.v("[W] device-rows hand-off skipped: %s" % exc)
     formats.write_hist(base + ".hist", formats.hist_from_array(hist))
     files["hist"] = base + ".hist"
 

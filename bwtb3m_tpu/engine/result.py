@@ -28,12 +28,35 @@ _FOCC_CACHE: dict = {}
 _ROWS_CACHE: dict = {}
 
 
-def register_device_rows(bwt_path: str, rows, n: int, sigma: int) -> None:
+def register_device_rows(bwt_path: str, handle, n: int, sigma: int,
+                         hist: np.ndarray) -> None:
+    """Bind a ``DeviceRowsHandle`` to the freshly written ``.bwt``.
+
+    The handle carries the identity of the build that produced the rows
+    (n, sigma, BWT symbol histogram); binding is refused unless all
+    three match the file's stats, so rows can never be registered
+    against a ``.bwt`` from a different build (the round-4 silent-
+    corruption path, VERDICT r4 weak #1)."""
     import os
+    if handle.n != n or handle.sigma != sigma:
+        raise ValueError(
+            "device-rows handle identity mismatch: handle (n=%d, sigma=%d)"
+            " vs build (n=%d, sigma=%d)" % (handle.n, handle.sigma, n, sigma))
+    h = np.asarray(handle.hist, np.int64)
+    b = np.asarray(hist, np.int64)
+    if len(h) != len(b) or not np.array_equal(h, b):
+        raise ValueError("device-rows handle histogram mismatch")
     st = os.stat(bwt_path)
     key = (os.path.abspath(bwt_path), st.st_mtime_ns, st.st_size, True)
     _ROWS_CACHE.clear()    # hold at most one
-    _ROWS_CACHE[key] = (rows, n, sigma)
+    _ROWS_CACHE[key] = (handle.rows, n, sigma)
+
+
+def clear_caches() -> None:
+    """Drop the focc memo and any pending device-rows hand-off (used by
+    the test suite between tests; safe any time — both are caches)."""
+    _FOCC_CACHE.clear()
+    _ROWS_CACHE.clear()
 
 
 class BwtResult:
@@ -134,17 +157,28 @@ class BwtResult:
         .hwt reuse (/root/reference/src/checkbwt.cpp:46-53)."""
         import os
         st = os.stat(self.bwt_path)
+        # the built structure depends on the wide/narrow variant too
+        # (BWTB3M_FORCE_WIDE or n >= 2^32 selects the two-word occ):
+        # a cached narrow structure must never satisfy a wide request
+        # (ADVICE r4: the test_wideocc failure mode)
+        wide = bool(self.n >= (1 << 32)
+                    or os.environ.get("BWTB3M_FORCE_WIDE"))
         key = (os.path.abspath(self.bwt_path), st.st_mtime_ns, st.st_size,
-               bool(dense))
+               bool(dense), wide)
         hit = _FOCC_CACHE.get(key)
         if hit is not None:
             return hit
-        rows_hit = _ROWS_CACHE.pop(key, None)
+        rows_key = key[:4]
+        rows_hit = None if wide else _ROWS_CACHE.get(rows_key)
         if rows_hit is not None:
-            from ..ops.focc_build import build_focc_from_rows
             rows, n, sigma = rows_hit
-            out = (build_focc_from_rows(rows, n, sigma), None)
-        else:
+            if n == self.n and sigma == self.sigma:
+                _ROWS_CACHE.pop(rows_key, None)
+                from ..ops.focc_build import build_focc_from_rows
+                out = (build_focc_from_rows(rows, n, sigma), None)
+            else:
+                rows_hit = None
+        if rows_hit is None:
             out = self._build_focc(dense)
         _FOCC_CACHE.clear()   # hold at most one (rows are ~1 B/symbol HBM)
         _FOCC_CACHE[key] = out

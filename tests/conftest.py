@@ -20,8 +20,20 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True)
+def _clear_engine_caches():
+    """Order-independence guard: drop the focc memo and any pending
+    device-rows hand-off between tests, so no test ever observes a rank
+    structure built for a different test's text (VERDICT r4 next #1)."""
+    from bwtb3m_tpu.engine.result import clear_caches
+    clear_caches()
+    yield
+    clear_caches()
 
 
 def pytest_configure(config):
