@@ -72,6 +72,7 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
     # ---- phase 2+3: suffix sort (device) -------------------------------
     sa = isa = None
     rows_out = None  # filled by the scaled engine when rows stay in HBM
+    symmap = None    # dense-id -> original symbol (alphabet compaction)
     if options.engine == "sharded":
         import jax
 
@@ -83,18 +84,33 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             isa[sa] = np.arange(n, dtype=np.int64)
     elif (options.engine in ("merge", "merge-legacy")
           or (options.engine == "auto" and n > options.max_block_symbols)):
-        # rank-compact wide alphabets to <= 256 dense symbols (utf-8
-        # codepoints; the reference's alphabet-compaction pass,
-        # /root/reference/src/lcpbit.cpp:677-806) — a strictly monotonic
+        # rank-compact sparse alphabets to their distinct symbols — the
+        # reference's alphabet-compaction pass
+        # (/root/reference/src/lcpbit.cpp:677-806).  A strictly monotonic
         # symbol remap preserves rotation order, so the BWT maps back
-        # through the same table
-        symmap = None
+        # through the same table.  Two cases: sigma > 256 (utf-8
+        # codepoints) must compact to run at all; byte alphabets with
+        # <= 16 distinct symbols (DNA in a bytestream) compact because
+        # nibble-packed device rows halve every text/rank transfer and
+        # the merge tree's HBM footprint (measured: 13.7 s vs 24.1 s
+        # steady at 16M, BENCH.md round 5).
         if options.engine != "merge-legacy" and sigma > 256:
             uniq = np.unique(np.asarray(symbols))
             if len(uniq) <= 256:
                 symmap = uniq
                 symbols = np.searchsorted(uniq, np.asarray(symbols)).astype(
                     np.uint8)
+                log.v("alphabet rank-compacted: %d distinct symbols"
+                      % len(uniq))
+        elif options.engine != "merge-legacy" and sigma > 16:
+            syms_np = np.asarray(symbols)
+            hist0 = np.bincount(syms_np, minlength=sigma)
+            uniq = np.flatnonzero(hist0)
+            if 0 < len(uniq) <= 16:
+                table = np.zeros(sigma, np.uint8)
+                table[uniq] = np.arange(len(uniq), dtype=np.uint8)
+                symmap = uniq.astype(np.int64)
+                symbols = table[syms_np]
                 log.v("alphabet rank-compacted: %d distinct symbols"
                       % len(uniq))
         if options.engine != "merge-legacy" and (sigma <= 256
@@ -105,9 +121,9 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             from .merge_scaled import blockwise_bwt_scaled
             eff_sigma = sigma if symmap is None else len(symmap)
             symbols, spill_path = _spill_text(symbols, options, log)
-            # rows hand-off only when the .bwt holds the engine's own
-            # symbols (a utf-8 symmap rewrites them on the way out)
-            rows_out = [] if symmap is None else None
+            # the hand-off carries the engine's dense symbols plus the
+            # symmap back to file symbols (engine/result.py serves both)
+            rows_out = []
             try:
                 lb = getattr(options, "lane_bucket", None) or (1 << 16)
                 with log.span(
@@ -160,7 +176,7 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
         from .result import register_device_rows
         try:
             register_device_rows(options.output_filename, rows_handle[0],
-                                 n, sigma, hist)
+                                 n, sigma, hist, symmap=symmap)
         except Exception as exc:  # hand-off is an optimization, not a gate
             log.v("[W] device-rows hand-off skipped: %s" % exc)
     formats.write_hist(base + ".hist", formats.hist_from_array(hist))

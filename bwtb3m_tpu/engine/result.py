@@ -22,34 +22,56 @@ _FOCC_CACHE: dict = {}
 # device-rows hand-off from the merge engine: compute_bwt registers the
 # final region's packed device rows here (keyed like _FOCC_CACHE) so an
 # in-process checkbwt/bwtcomputessa builds the rank structure straight
-# from HBM instead of re-uploading the .bwt through the relay.  Only
-# registered when no dense remap would apply (hist covers 0..sigma-1,
-# sigma <= 8), so the structure is identical to the host build's.
+# from HBM instead of re-uploading the .bwt through the relay.  The rows
+# hold the engine's DENSE symbols (bit-plane-eligible sigma <= 8, all
+# present); when the engine ran rank-compacted, the entry carries the
+# symmap so the hit mirrors _build_focc(dense=True) exactly.
 _ROWS_CACHE: dict = {}
 
 
 def register_device_rows(bwt_path: str, handle, n: int, sigma: int,
-                         hist: np.ndarray) -> None:
+                         hist: np.ndarray, symmap=None) -> None:
     """Bind a ``DeviceRowsHandle`` to the freshly written ``.bwt``.
 
     The handle carries the identity of the build that produced the rows
-    (n, sigma, BWT symbol histogram); binding is refused unless all
-    three match the file's stats, so rows can never be registered
+    (n, dense sigma, BWT symbol histogram); binding is refused unless
+    all three match the file's stats, so rows can never be registered
     against a ``.bwt`` from a different build (the round-4 silent-
-    corruption path, VERDICT r4 weak #1)."""
+    corruption path, VERDICT r4 weak #1).  ``symmap`` maps the rows'
+    dense symbol ids back to the file's symbols when the engine ran
+    rank-compacted (engine/api.py alphabet compaction); the stored hit
+    then mirrors what ``_build_focc(dense=True)`` would return."""
     import os
-    if handle.n != n or handle.sigma != sigma:
-        raise ValueError(
-            "device-rows handle identity mismatch: handle (n=%d, sigma=%d)"
-            " vs build (n=%d, sigma=%d)" % (handle.n, handle.sigma, n, sigma))
     h = np.asarray(handle.hist, np.int64)
     b = np.asarray(hist, np.int64)
-    if len(h) != len(b) or not np.array_equal(h, b):
-        raise ValueError("device-rows handle histogram mismatch")
+    if symmap is None:
+        if handle.n != n or handle.sigma != sigma:
+            raise ValueError(
+                "device-rows handle identity mismatch: handle (n=%d, "
+                "sigma=%d) vs build (n=%d, sigma=%d)"
+                % (handle.n, handle.sigma, n, sigma))
+        if len(h) != len(b) or not np.array_equal(h, b):
+            raise ValueError("device-rows handle histogram mismatch")
+    else:
+        sm = np.asarray(symmap, np.int64)
+        if handle.n != n or handle.sigma != len(sm):
+            raise ValueError(
+                "device-rows handle identity mismatch under symmap: "
+                "handle (n=%d, sigma=%d) vs build (n=%d, |symmap|=%d)"
+                % (handle.n, handle.sigma, n, len(sm)))
+        # the file's histogram restricted to the mapped symbols must be
+        # the dense histogram, and carry ALL the mass
+        if (sm.max(initial=-1) >= len(b)
+                or not np.array_equal(b[sm], h)
+                or int(b.sum()) != int(h.sum())):
+            raise ValueError("device-rows handle histogram mismatch "
+                             "under symmap")
     st = os.stat(bwt_path)
     key = (os.path.abspath(bwt_path), st.st_mtime_ns, st.st_size, True)
     _ROWS_CACHE.clear()    # hold at most one
-    _ROWS_CACHE[key] = (handle.rows, n, sigma)
+    _ROWS_CACHE[key] = (handle.rows, n, handle.sigma,
+                        None if symmap is None
+                        else np.asarray(symmap, np.int64).copy())
 
 
 def clear_caches() -> None:
@@ -169,13 +191,16 @@ class BwtResult:
         if hit is not None:
             return hit
         rows_key = key[:4]
+        # a symmap'd hit IS the dense structure, so only dense requests
+        # may consume it (and wide requests never can — narrow rows)
         rows_hit = None if wide else _ROWS_CACHE.get(rows_key)
         if rows_hit is not None:
-            rows, n, sigma = rows_hit
-            if n == self.n and sigma == self.sigma:
+            rows, n, dsigma, symmap = rows_hit
+            if n == self.n and (symmap is not None or dsigma == self.sigma) \
+                    and (symmap is None or dense):
                 _ROWS_CACHE.pop(rows_key, None)
                 from ..ops.focc_build import build_focc_from_rows
-                out = (build_focc_from_rows(rows, n, sigma), None)
+                out = (build_focc_from_rows(rows, n, dsigma), symmap)
             else:
                 rows_hit = None
         if rows_hit is None:

@@ -289,6 +289,247 @@ def device_interleave(left_rows, A: int, right_rows, B: int, gap,
     return out_rows
 
 
+# ------------------------------------------------- wide (hi, lo) variants
+#
+# Texts past 2^32 symbols (ops/gapwide.py merges) exceed uint32 in both
+# the rank space and the output positions, so the zip's big quantities
+# travel as (hi, lo) uint32 pairs — TPUs have no fast 64-bit integers.
+# Two observations keep the kernels almost identical to the narrow ones:
+#
+# 1. cumulative row sums only need a pair-valued associative scan with an
+#    explicit carry (per-row sums decompose as sum(cell & 0xFFFF) +
+#    sum(cell >> 16) << 16, each < 2^24 for 256 cells);
+# 2. within one output chunk of CH <= 2^24 symbols every quantity the
+#    kernel compares or scatters is a DIFFERENCE bounded by CH, so the
+#    mod-2^32 lo words subtract to the exact small value — the chunk
+#    kernel runs on lo words alone, with the host pre-resolving each
+#    chunk's right-index range (nvalid) through the wide binary search.
+#
+# Reference role: the uniform any-n gap-guided merge,
+# /root/reference/src/bwtb3m.cpp:47,62-63 [libmaus2].
+
+
+def _pair_add(ah, al, bh, bl):
+    lo = al + bl
+    return ah + bh + (lo < al).astype(jnp.uint32), lo
+
+
+def _pair_sub(ah, al, bh, bl):
+    """a - b for a >= b."""
+    return ah - bh - (al < bl).astype(jnp.uint32), al - bl
+
+
+def _pair_lt(ah, al, bh, bl):
+    return jnp.logical_or(ah < bh, jnp.logical_and(ah == bh, al < bl))
+
+
+def _row_sums_pair(rows_u32):
+    """Exact per-row sums of [*, 256] u32 cells as (hi, lo) pairs."""
+    s1 = jnp.sum(rows_u32 & jnp.uint32(0xFFFF), axis=-1,
+                 dtype=jnp.uint32)                       # < 2^24
+    s2 = jnp.sum(rows_u32 >> jnp.uint32(16), axis=-1,
+                 dtype=jnp.uint32)                       # < 2^24
+    low = (s2 << jnp.uint32(16)) + s1
+    hi = (s2 >> jnp.uint32(16)) + (low < s1).astype(jnp.uint32)
+    return hi, low
+
+
+@jax.jit
+def gap_row_cum_excl_w(gap):
+    """Exclusive cumulative row sums as (hi, lo) u32 arrays [grows] —
+    exact for totals to 2^39 (the wide scatter-row envelope)."""
+    rs_hi, rs_lo = _row_sums_pair(gap.astype(jnp.uint32))
+    cum_hi, cum_lo = lax.associative_scan(
+        lambda a, b: _pair_add(a[0], a[1], b[0], b[1]), (rs_hi, rs_lo))
+    return _pair_sub(cum_hi, cum_lo, rs_hi, rs_lo)
+
+
+@jax.jit
+def _gap_total_pair(gap):
+    rs_hi, rs_lo = _row_sums_pair(gap.astype(jnp.uint32))
+    cum_hi, cum_lo = lax.associative_scan(
+        lambda a, b: _pair_add(a[0], a[1], b[0], b[1]), (rs_hi, rs_lo))
+    return cum_hi[-1], cum_lo[-1]
+
+
+def gap_checksum_w(gap) -> int:
+    """Exact int64 histogram total ON DEVICE (pair reduction) — the wide
+    runner's checksum without fetching the byte-compressed histogram."""
+    h, l = _gap_total_pair(gap)
+    return (int(h) << 32) | int(l)
+
+
+def _masked_row_sum_pair(grow_u32, col_limit):
+    """Per-row (hi, lo) sum of cells with column <= col_limit[:, None]."""
+    col = lax.broadcasted_iota(jnp.uint32, grow_u32.shape, 1)
+    masked = jnp.where(col <= col_limit[:, None], grow_u32, jnp.uint32(0))
+    return _row_sums_pair(masked)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _count_right_before_w(iters: int, gap, cum_hi, cum_lo, row0,
+                          cb_hi, cb_lo, B_hi, B_lo, t_hi, t_lo):
+    """Wide binary search: #r with r + cnt_le[r] < t, all pairs."""
+    K = t_lo.shape[0]
+    lo_h = jnp.zeros((K,), jnp.uint32)
+    lo_l = jnp.zeros((K,), jnp.uint32)
+    hi_h = jnp.broadcast_to(B_hi, (K,))
+    hi_l = jnp.broadcast_to(B_lo, (K,))
+
+    def body(_, st):
+        lo_h, lo_l, hi_h, hi_l = st
+        d_h, d_l = _pair_sub(hi_h, hi_l, lo_h, lo_l)
+        h_h = d_h >> jnp.uint32(1)
+        h_l = (d_l >> jnp.uint32(1)) | (d_h << jnp.uint32(31))
+        m_h, m_l = _pair_add(lo_h, lo_l, h_h, h_l)
+        gr = row0 + ((m_h << jnp.uint32(24))
+                     | (m_l >> jnp.uint32(8))).astype(jnp.int32)
+        grow = take_u32(gap, gr).astype(jnp.uint32)       # [K, 256]
+        p_h, p_l = _masked_row_sum_pair(grow, m_l & jnp.uint32(255))
+        c_h, c_l = _pair_sub(take_u32(cum_hi, gr), take_u32(cum_lo, gr),
+                             cb_hi, cb_lo)
+        c_h, c_l = _pair_add(c_h, c_l, p_h, p_l)
+        f_h, f_l = _pair_add(m_h, m_l, c_h, c_l)
+        less = _pair_lt(f_h, f_l, t_hi, t_lo)
+        n_h, n_l = _pair_add(m_h, m_l, jnp.uint32(0), jnp.uint32(1))
+        lo_h = jnp.where(less, n_h, lo_h)
+        lo_l = jnp.where(less, n_l, lo_l)
+        hi_h = jnp.where(less, hi_h, m_h)
+        hi_l = jnp.where(less, hi_l, m_l)
+        return lo_h, lo_l, hi_h, hi_l
+
+    lo_h, lo_l, _hh, _hl = lax.fori_loop(
+        0, iters, body, (lo_h, lo_l, hi_h, hi_l))
+    return lo_h, lo_l
+
+
+def count_right_before_w(gap, row_cum, B: int, ts: np.ndarray,
+                         row0: int = 0, cum_base=(0, 0)) -> np.ndarray:
+    """Host wrapper of the wide search; ts/return are int64."""
+    if B == 0:
+        return np.zeros(len(ts), np.int64)
+    cum_hi, cum_lo = row_cum
+    K = max(16, 1 << (len(ts) - 1).bit_length()) if len(ts) else 16
+    t = np.zeros(K, np.uint64)
+    t[: len(ts)] = np.asarray(ts, np.uint64)
+    cb_h, cb_l = cum_base
+    lo_h, lo_l = _count_right_before_w(
+        36, gap, cum_hi, cum_lo, jnp.int32(row0),
+        jnp.uint32(int(cb_h)), jnp.uint32(int(cb_l)),
+        jnp.uint32(B >> 32), jnp.uint32(B & 0xFFFFFFFF),
+        jnp.asarray((t >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((t & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    out = (np.asarray(lo_h, np.int64) << 32) | np.asarray(lo_l, np.int64)
+    return out[: len(ts)]
+
+
+def _zip_chunk_w_impl(CH: int, bits: int, left_rows, right_rows, gap,
+                      cum_lo, out_rows, gr0, rrow0, lrow0, row_t0,
+                      r0_lo, j0_col, t0_lo, nvalid, cb_lo):
+    """Wide output chunk: identical placement logic to _zip_chunk_impl on
+    mod-2^32 lo words; validity comes from the host-resolved right-index
+    count ``nvalid`` (for r inside the chunk the true relative position
+    is < CH, so the u32 arithmetic is exact; r beyond it must be DROPPED
+    by count, not clipped by magnitude — their wrapped lo words could
+    alias into [0, CH))."""
+    from .pack import pack_bits_device
+    krows = CH // BLOCK + 2
+    kiota = lax.broadcasted_iota(jnp.int32, (krows,), 0)
+
+    g_rows = take_u32(gap, gr0 + kiota)
+    g_flat = g_rows.astype(jnp.uint32).reshape(krows * BLOCK)
+    off_r = (r0_lo & jnp.uint32(255)).astype(jnp.int32)
+    cells = lax.dynamic_slice(g_flat, (off_r,), (CH + 1,))
+    first_row = take_u32(gap, gr0).astype(jnp.uint32)
+    iota256 = lax.broadcasted_iota(jnp.int32, (BLOCK,), 0)
+    part0 = jnp.sum(jnp.where(iota256 < off_r, first_row, jnp.uint32(0)))
+    cnt_le0 = take_u32(cum_lo, gr0) - cb_lo + part0      # mod 2^32
+    csum = jnp.cumsum(cells, dtype=jnp.uint32)
+
+    kk = lax.broadcasted_iota(jnp.uint32, (CH + 1,), 0)
+    p_local = (r0_lo + kk + cnt_le0 + csum) - t0_lo      # exact for kk<nvalid
+    valid_r = kk < nvalid
+    idx = jnp.where(valid_r, jnp.minimum(p_local, jnp.uint32(CH)),
+                    jnp.uint32(CH)).astype(jnp.int32)
+    is_right = jnp.zeros((CH + 1,), jnp.int8).at[idx].set(jnp.int8(1))
+    is_right = is_right[:CH]
+    right_excl = jnp.cumsum(is_right.astype(jnp.int32)) - is_right
+
+    r_gather = take_u32(right_rows, rrow0 + kiota)
+    rsyms = _unpack_rows(r_gather, bits)
+    l_gather = take_u32(left_rows, lrow0 + kiota)
+    lsyms = _unpack_rows(l_gather, bits)
+    i_iota = lax.broadcasted_iota(jnp.int32, (CH,), 0)
+    rv = jnp.take(rsyms, off_r + right_excl)
+    lv = jnp.take(lsyms, j0_col + (i_iota - right_excl))
+    out = jnp.where(is_right.astype(jnp.bool_), rv, lv)
+
+    if bits == 4:
+        chunk = lax.bitcast_convert_type(
+            pack_bits_device(out, 4), jnp.int8).reshape(
+            CH // BLOCK, BLOCK // 2)
+    else:
+        chunk = out.astype(jnp.int8).reshape(CH // BLOCK, BLOCK)
+    return lax.dynamic_update_slice(out_rows, chunk, (row_t0, 0))
+
+
+_zip_chunk_w = partial(jax.jit, static_argnums=(0, 1),
+                       donate_argnums=(6,))(_zip_chunk_w_impl)
+
+
+def device_interleave_w(left_rows, A: int, right_rows, B: int, gap,
+                        row_cum, bits: int):
+    """Wide merged region rows (A + B may exceed 2^32).  ``row_cum`` is
+    the (hi, lo) pair from gap_row_cum_excl_w."""
+    total = A + B
+    CH = _chunk_size(total)
+    nchunks = (total + CH - 1) // CH
+    ts = np.arange(nchunks + 1, dtype=np.int64) * CH
+    ts[-1] = total
+    r_b = count_right_before_w(gap, row_cum, B, ts)
+    r_b[-1] = B                     # all right symbols precede the end
+    w = _row_w(bits)
+    nrows_pad = _pad_rows(max(CH // BLOCK,
+                              (total + BLOCK - 1) // BLOCK, 1))
+    out_rows = jnp.zeros((nrows_pad, w), jnp.int8)
+    cum_lo = row_cum[1]
+    for c in range(nchunks):
+        t0 = int(ts[c])
+        r0 = int(r_b[c])
+        j0 = t0 - r0
+        nvalid = int(min(r_b[c + 1], B) - r0)
+        out_rows = _zip_chunk_w(
+            CH, bits, left_rows, right_rows, gap, cum_lo, out_rows,
+            jnp.int32(r0 >> 8), jnp.int32(r0 >> 8), jnp.int32(j0 >> 8),
+            jnp.int32(t0 >> 8), jnp.uint32(r0 & 0xFFFFFFFF),
+            jnp.int32(j0 & 0xFF), jnp.uint32(t0 & 0xFFFFFFFF),
+            jnp.uint32(nvalid), jnp.uint32(0))
+    return out_rows
+
+
+@jax.jit
+def _cnt_le_at_w(gap, cum_hi, cum_lo, gr, cols):
+    grow = take_u32(gap, gr).astype(jnp.uint32)
+    p_h, p_l = _masked_row_sum_pair(grow, cols)
+    return _pair_add(take_u32(cum_hi, gr), take_u32(cum_lo, gr), p_h, p_l)
+
+
+def cnt_le_at_ranks_w(gap, row_cum, ranks: np.ndarray) -> np.ndarray:
+    """Wide cnt_le[r] (inclusive) at int64 ranks."""
+    if len(ranks) == 0:
+        return np.zeros(0, np.int64)
+    cum_hi, cum_lo = row_cum
+    K = max(16, 1 << (len(ranks) - 1).bit_length())
+    r = np.zeros(K, np.uint64)
+    r[: len(ranks)] = np.asarray(ranks, np.uint64)
+    h, l = _cnt_le_at_w(
+        gap, cum_hi, cum_lo,
+        jnp.asarray((r >> np.uint64(8)).astype(np.int32)),
+        jnp.asarray((r & np.uint64(255)).astype(np.uint32)))
+    out = (np.asarray(h, np.int64) << 32) | np.asarray(l, np.int64)
+    return out[: len(ranks)]
+
+
 # --------------------------------------------------------- sample updates
 
 @jax.jit

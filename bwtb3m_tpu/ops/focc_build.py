@@ -162,11 +162,16 @@ def _rows_chunk_slice(region_rows, r0: int, g: int):
 
 
 def build_focc_from_rows(region_rows, n: int, sigma: int,
-                         chunk_rows: int = 0):
+                         chunk_rows: int = 0, return_bases: bool = False):
     """Fused rank structure from DEVICE-resident packed region rows
     (ops/devzip.py layout) — no host pack, no host->device transfer.
     Row contents are byte-identical to build_focc_host on the same
-    symbols (shared chunk programs)."""
+    symbols (shared chunk programs).
+
+    ``return_bases`` additionally returns (chunk_bases uint32
+    [nchunks, sigma], chunk_rows) for ops/wideocc.widen_focc — the
+    per-chunk bases stay on device and cross the relay as ONE stacked
+    fetch (a per-chunk fetch would cost a round trip each)."""
     import os
 
     if sigma > 256:
@@ -184,6 +189,7 @@ def build_focc_from_rows(region_rows, n: int, sigma: int,
     base = jnp.zeros((sigma,), jnp.uint32)
     nfull = jnp.int32(n // BLOCK)
     nrem = jnp.int32(n % BLOCK)
+    bases_dev = [] if return_bases else None
     for k in range(nchunks):
         packed = _rows_chunk_slice(region_rows, k * g, g)
         if bitplane:
@@ -192,12 +198,19 @@ def build_focc_from_rows(region_rows, n: int, sigma: int,
         else:
             rows, base = _bytes_chunk(g, sigma, bits, roww, packed, base,
                                       rows, jnp.int32(k * g), nfull, nrem)
+        if bases_dev is not None:
+            bases_dev.append(base)
     total = np.asarray(base).astype(np.uint64)
     C = np.zeros(sigma + 1, np.uint32)
     C[1:] = np.cumsum(total).astype(np.uint32)
     Cj = jnp.asarray(C)
-    return (FusedOccBP(rows, Cj, n, sigma) if bitplane
+    focc = (FusedOccBP(rows, Cj, n, sigma) if bitplane
             else FusedOcc(rows, Cj, n, sigma, BLOCK))
+    if return_bases:
+        cb = (np.asarray(jnp.stack(bases_dev)).astype(np.uint32)
+              if bases_dev else np.zeros((0, sigma), np.uint32))
+        return focc, cb, g
+    return focc
 
 
 def build_focc_host(bwt: np.ndarray, sigma: int, pad_shape: bool = True,

@@ -90,16 +90,19 @@ def _read_tg(text_rows, gt_rows, start_rows, lo0_row, kbase):
 
 
 def walk_outer(remaining: int, platform: str) -> int:
-    """Outer-loop length for the next chain/anchor chunk. On remote-
-    compiled backends (tpu/axon) every distinct `outer` is a multi-minute
-    compile, and the masked overshoot of a fixed outer=8 (< 2048 steps)
-    is noise next to that — ONE variant per shape. On locally-compiled
-    backends (cpu tests/small-input scope) compiles are seconds and the
-    8x masked overshoot dominates short anchor walks (~64-step
-    lookbacks), so size the chunk to the work."""
-    if platform == "cpu":
-        return chunk_outer(remaining)
-    return 8
+    """Outer-loop length for the next chain/anchor chunk: the {8,4,2,1}
+    power-of-two family, sized to the work.
+
+    Round 4 pinned outer=8 on remote-compiled backends to hold ONE
+    compile variant per shape — but at steady state that fixed 2048-step
+    chunk dominates the merge cost: a 65k-lane chain pass over an 8M
+    left block walks ~384 steps/lane (128 useful + alignment padding),
+    so 2048 masked steps are a 5.3x overshoot, measured as 2.0 s of the
+    4.8 s root merge (BENCH.md round 5).  The pow2 family caps the
+    variants at 4 per shape — one-time compiles through the persistent
+    XLA cache — and cuts the steady overshoot to < 256 steps."""
+    del platform
+    return chunk_outer(remaining)
 
 
 def chunk_outer(remaining: int) -> int:

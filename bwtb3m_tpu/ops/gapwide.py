@@ -267,11 +267,9 @@ class WideDeviceGapRunner(DeviceGapRunner):
         return self._g8_cache
 
     def gap_checksum(self) -> int:
-        """Exact int64 checksum from the compressed fetch (a uint32
-        device reduction would wrap: wide-path block lengths can exceed
-        2^32).  The fetch is cached for the zip that follows."""
-        g8, ov_idx, ov_val = self.fetch_gap_compressed()
-        total = int(g8.sum(dtype=np.int64))
-        if len(ov_idx):
-            total += int((ov_val - 255).sum())
-        return total
+        """Exact int64 checksum via a DEVICE (hi, lo) pair reduction —
+        a plain uint32 reduction would wrap (wide block lengths exceed
+        2^32), and the old byte-compressed host fetch cost 1 B/rank
+        through the relay even when the device zip needs no fetch."""
+        from .devzip import gap_checksum_w
+        return gap_checksum_w(self.gap)

@@ -53,20 +53,29 @@ def main():
         log.v("synth %d Mbp pacterm: %.1fs" % (mbp, time.time() - t0))
         del payload
 
+    hostmem = int(os.environ.get("BWTB3M_HOSTMEM", "0")) or None
     stats = {"n": n, "block_mb": block_mb,
              "blocks": -(-n // (block_mb * 1000 * 1000)),
              "device_tree": os.environ.get("BWTB3M_DEVICE_TREE", "1")
              != "0",
+             "hostmem": hostmem,
              "date": time.strftime("%Y-%m-%d %H:%M")}
     t0 = time.time()
+    out_bwt = os.path.join(work, "t%dm.bwt" % mbp)
     res = compute_bwt(BwtOptions(
         input_path=pac, input_type="pacterm",
-        output_filename=os.path.join(work, "t%dm.bwt" % mbp),
+        output_filename=out_bwt,
         engine="merge", bwt_only=True,
         max_block_symbols=block_mb * 1000 * 1000,
         batch_merges=os.environ.get("BWTB3M_BATCHMERGES", "1") != "0",
-        verbose=1))
+        host_mem=hostmem,
+        verbose=int(os.environ.get("BWTB3M_VERBOSE", "2"))))
     stats["build_s"] = round(time.time() - t0, 1)
+    # durable checkpoint evidence (engine/checkpoint.py writes
+    # <tmp_prefix>_BWTREG1_reg_* for completed regions >= min_symbols)
+    import glob
+    stats["checkpoint_files"] = len(
+        glob.glob(out_bwt + "_tmp_BWTREG1_reg_*"))
     log.v("build: %.1fs (%.1f Mbp/s end-to-end)"
           % (stats["build_s"], n / 1e6 / stats["build_s"]))
 

@@ -186,3 +186,57 @@ def test_level_global_offsets():
     assert np.array_equal(
         cnt_le_at_ranks(gd, rc, ranks, row0=row0, cum_base=cum_base),
         cnt_le[ranks])
+
+
+def test_wide_pair_helpers_exact_past_2_32():
+    """(hi, lo) wide helpers (gap_row_cum_excl_w / cnt_le_at_ranks_w /
+    count_right_before_w / gap_checksum_w) stay exact when cumulative
+    sums exceed 2^32 — synthetic histogram with 2^30-scale cells, int64
+    numpy reference (VERDICT r4 missing #3 / next #5)."""
+    from bwtb3m_tpu.ops.devzip import (cnt_le_at_ranks_w,
+                                       count_right_before_w,
+                                       gap_checksum_w, gap_row_cum_excl_w)
+    rng = np.random.default_rng(9)
+    rows = 8
+    gap = rng.integers(0, 1 << 30, (rows, 256)).astype(np.int32)
+    flat = gap.astype(np.int64).reshape(-1)
+    cum_incl = np.cumsum(flat)                     # ~2^41 total
+    gj = jnp.asarray(gap)
+    ch, cl = gap_row_cum_excl_w(gj)
+    row_sums = flat.reshape(rows, 256).sum(1)
+    excl = np.cumsum(row_sums) - row_sums
+    got = (np.asarray(ch, np.int64) << 32) | np.asarray(cl, np.int64)
+    np.testing.assert_array_equal(got, excl)
+    assert gap_checksum_w(gj) == int(flat.sum())
+    ranks = rng.integers(0, rows * 256, 50).astype(np.int64)
+    np.testing.assert_array_equal(
+        cnt_le_at_ranks_w(gj, (ch, cl), ranks), cum_incl[ranks])
+    B = rows * 256 - 2
+    F = np.arange(B, dtype=np.int64) + cum_incl[:B]
+    ts = np.sort(rng.integers(0, int(F[-1]) + 10, 40))
+    want = np.searchsorted(F, ts, side="left")     # #r with F(r) < t
+    np.testing.assert_array_equal(
+        count_right_before_w(gj, (ch, cl), B, ts), want)
+
+
+def test_wide_device_interleave_matches_host_route(monkeypatch):
+    """Forced-wide build through the DEVICE tree (build_focc_from_rows ->
+    wide chains -> _finish_merge_dev_wide) is bit-identical to the same
+    build with the device tree disabled (host zip/fetch route)."""
+    from bwtb3m_tpu.engine.merge_scaled import blockwise_bwt_scaled
+    from bwtb3m_tpu.engine.options import BwtOptions
+    from bwtb3m_tpu.util.log import VerboseLog
+
+    rng = np.random.default_rng(77)
+    n = 6000
+    text = rng.integers(0, 4, n).astype(np.int32)
+    opts = BwtOptions(input_path="x", output_filename="/tmp/wdt.bwt",
+                      max_block_symbols=2048, batch_merges=False)
+    monkeypatch.setenv("BWTB3M_FORCE_WIDE", "1")
+    dev = blockwise_bwt_scaled(text, 4, opts, VerboseLog(0),
+                               sample_rate=512, lane_bucket=32)
+    monkeypatch.setenv("BWTB3M_DEVICE_TREE", "0")
+    host = blockwise_bwt_scaled(text, 4, opts, VerboseLog(0),
+                                sample_rate=512, lane_bucket=32)
+    for d, h in zip(dev, host):
+        assert np.array_equal(d, h)

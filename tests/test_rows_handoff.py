@@ -77,6 +77,28 @@ def test_two_scaled_builds_each_verify(tmp_path):
     np.testing.assert_array_equal(sa_vals, np.asarray(sa)[::32])
 
 
+def test_handoff_with_alphabet_compaction(tmp_path):
+    # bytestream ACGT: the file's sigma is 256 but only 4 symbols occur;
+    # the engine rank-compacts to dense nibble rows and hands them off
+    # WITH the symmap (engine/api.py alphabet compaction) — checkbwt and
+    # ssa must consume the hit and still verify against the raw text
+    rng = np.random.default_rng(51)
+    raw = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=6000)
+    p = tmp_path / "t.bin"
+    p.write_bytes(raw.tobytes())
+    res = compute_bwt(BwtOptions(
+        input_path=str(p), input_type="bytestream", engine="merge",
+        max_block_symbols=2048, preisa_sampling_rate=512,
+        bwt_only=True, verbose=0))
+    assert len(_ROWS_CACHE) == 1   # dense rows + symmap registered
+    text = raw.astype(np.int32)
+    assert check_bwt(res, text)    # consumes the symmap'd rows hit
+    sa_path, _ = compute_ssa(res.bwt_path, 32, 64)
+    sa, _isa, _b = suffix_array(text, int(text.max()) + 1)
+    _r, sa_vals = formats.read_sampled_array(sa_path)
+    np.testing.assert_array_equal(sa_vals, np.asarray(sa)[::32])
+
+
 def test_register_refuses_identity_mismatch(tmp_path):
     from bwtb3m_tpu.engine.merge_scaled import DeviceRowsHandle
     res, codes = _scaled_pac_build(tmp_path, seed=41, n=3000)
