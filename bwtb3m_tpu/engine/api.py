@@ -103,16 +103,18 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
                 log.v("alphabet rank-compacted: %d distinct symbols"
                       % len(uniq))
         elif options.engine != "merge-legacy" and sigma > 16:
-            syms_np = np.asarray(symbols)
-            hist0 = np.bincount(syms_np, minlength=sigma)
-            uniq = np.flatnonzero(hist0)
-            if 0 < len(uniq) <= 16:
-                table = np.zeros(sigma, np.uint8)
-                table[uniq] = np.arange(len(uniq), dtype=np.uint8)
-                symmap = uniq.astype(np.int64)
-                symbols = table[syms_np]
-                log.v("alphabet rank-compacted: %d distinct symbols"
-                      % len(uniq))
+            with log.span("alphabet compaction scan"):
+                from .. import native
+                syms_np = np.asarray(symbols)
+                hist0 = native.byte_hist(syms_np, minlength=sigma)
+                uniq = np.flatnonzero(hist0)
+                if 0 < len(uniq) <= 16:
+                    table = np.zeros(sigma, np.uint8)
+                    table[uniq] = np.arange(len(uniq), dtype=np.uint8)
+                    symmap = uniq.astype(np.int64)
+                    symbols = table[syms_np]
+                    log.v("alphabet rank-compacted: %d distinct symbols"
+                          % len(uniq))
         if options.engine != "merge-legacy" and (sigma <= 256
                                                  or symmap is not None):
             # scaled engine: regions carry only BWT + samples (no full
@@ -142,7 +144,13 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             # bwt stays uint8 — at 3.2G an int32 copy is 12.8 GB of host
             # RAM for nothing (the codecs and bincount take uint8)
             if symmap is not None:
-                bwt = symmap[bwt]   # back to original symbols
+                # back to original symbols — gather through a table of
+                # the narrowest dtype (an int64 fancy-index would stage
+                # 8 B/symbol of host transient at 3.2G)
+                with log.span("symmap restore"):
+                    tab = symmap.astype(
+                        np.uint8 if int(symmap.max()) < 256 else np.int32)
+                    bwt = tab[bwt]
         else:
             from .merge import blockwise_bwt  # legacy full-SA path
             with log.span("device suffix sort (blockwise merge)"):
@@ -162,7 +170,15 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
             rl_encode(options.output_filename, bwt, sigma=sigma)
         files["bwt"] = options.output_filename
 
-    hist = np.bincount(bwt, minlength=sigma).astype(np.int64)
+    with log.span("output hist"):
+        if bwt.dtype == np.uint8:
+            from .. import native
+            h256 = native.byte_hist(bwt)
+            nz = np.flatnonzero(h256)
+            top = int(nz[-1]) + 1 if len(nz) else 0
+            hist = h256[: max(sigma, top)]  # bincount length semantics
+        else:
+            hist = np.bincount(bwt, minlength=sigma).astype(np.int64)
 
     # device-rows hand-off: bind the final region's HBM rows to the .bwt
     # just written so an in-process checkbwt/ssa skips the re-upload.

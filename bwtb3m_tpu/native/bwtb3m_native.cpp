@@ -361,6 +361,33 @@ static void cmp_rot_range(const uint8_t* text, int64_t n, int64_t e,
   }
 }
 
+// Multithreaded byte histogram: out[256] int64 counts.  numpy's
+// bincount runs at ~8 MB/s on this host (measured, BENCH.md round 5) —
+// at 3.2 Gbp that is minutes per histogram; this is memory-bound.
+static void hist_u8_range(const uint8_t* text, int64_t b0, int64_t b1,
+                          int64_t* out256) {
+  int64_t local[256] = {0};
+  for (int64_t i = b0; i < b1; ++i) ++local[text[i]];
+  for (int t = 0; t < 256; ++t)
+    __atomic_fetch_add(&out256[t], local[t], __ATOMIC_RELAXED);
+}
+
+void c_hist_u8(const uint8_t* text, int64_t n, int64_t nthreads,
+               int64_t* out256) {
+  if (nthreads <= 1 || n < (1 << 20)) {
+    hist_u8_range(text, 0, n, out256);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int64_t per = (n + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t b0 = t * per, b1 = b0 + per < n ? b0 + per : n;
+    if (b0 >= b1) break;
+    ths.emplace_back(hist_u8_range, text, b0, b1, out256);
+  }
+  for (auto& th : ths) th.join();
+}
+
 void c_cmp_rot(const uint8_t* text, int64_t n, int64_t e, const int64_t* xs,
                int64_t nx, int64_t nthreads, int8_t* out) {
   if (nthreads <= 1 || nx < 4096) {

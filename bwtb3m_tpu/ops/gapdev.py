@@ -394,10 +394,11 @@ class DeviceGapRunner:
             self._plat = next(iter(self.focc.rows.devices())).platform
         return self._plat
 
-    def _run_anchor(self, starts: np.ndarray, lbs: np.ndarray,
-                    r0_val: int) -> np.ndarray:
+    def _run_anchor_dev(self, starts: np.ndarray, lbs: np.ndarray,
+                        r0_val: int):
         """Contraction pass from one bound; lane j walks positions
-        (starts[j], starts[j]+lbs[j]] seeded at r0_val."""
+        (starts[j], starts[j]+lbs[j]] seeded at r0_val.  Returns the
+        DEVICE rank array (no sync) so both bounds' passes overlap."""
         walk_start = starts + lbs
         self._ensure_gt(int(walk_start.max()) + 1)
         rows, af, at, _ = self._align(walk_start, lbs)
@@ -415,17 +416,29 @@ class DeviceGapRunner:
                               self.consts, saj, afj, atj, r,
                               jnp.int32(done))
             done += outer * 256
-        return np.asarray(r)[: len(starts)].astype(np.int64)
+        return r
+
+    def _anchor_materialize(self, r_dev, k: int) -> np.ndarray:
+        return np.asarray(r_dev)[:k].astype(np.int64)
+
+    def _run_anchor(self, starts: np.ndarray, lbs: np.ndarray,
+                    r0_val: int) -> np.ndarray:
+        return self._anchor_materialize(
+            self._run_anchor_dev(starts, lbs, r0_val), len(starts))
 
     def anchor(self, starts: np.ndarray, lookback: int
                ) -> Tuple[np.ndarray, np.ndarray]:
         """R(start_j + 1) by interval contraction over up to `lookback`
         steps; per-lane lookback clamps keep positions <= e-2.  Returns
-        (ranks, resolved mask)."""
+        (ranks, resolved mask).  Both bounds dispatch before either is
+        fetched — one relay round trip instead of two."""
         lbs = np.minimum(lookback, (self.e - 2) - starts)
         lbs = np.maximum(lbs, 1)
-        lo = self._run_anchor(starts, lbs, 0)
-        hi = self._run_anchor(starts, lbs, self.gap_size)
+        lo_d = self._run_anchor_dev(starts, lbs, 0)
+        hi_d = self._run_anchor_dev(starts, lbs, self.gap_size)
+        k = len(starts)
+        lo = self._anchor_materialize(lo_d, k)
+        hi = self._anchor_materialize(hi_d, k)
         return lo, lo == hi
 
     def run_chains(self, starts: np.ndarray, seeds: np.ndarray,

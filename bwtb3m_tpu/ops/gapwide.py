@@ -178,7 +178,7 @@ class WideDeviceGapRunner(DeviceGapRunner):
 
     # ------------------------------------------------------------ anchor
 
-    def _run_anchor(self, starts, lbs, r0_val):
+    def _run_anchor_dev(self, starts, lbs, r0_val):
         walk_start = starts + lbs
         self._ensure_gt(int(walk_start.max()) + 1)
         rows, af, at, _ = self._align(walk_start, lbs)
@@ -197,7 +197,10 @@ class WideDeviceGapRunner(DeviceGapRunner):
                 self.consts_hi, self.consts_lo, saj, afj, atj,
                 r_hi, r_lo, jnp.int32(done))
             done += outer * 256
-        k = len(starts)
+        return r_hi, r_lo
+
+    def _anchor_materialize(self, r_dev, k: int) -> np.ndarray:
+        r_hi, r_lo = r_dev
         return (np.asarray(r_hi)[:k].astype(np.int64) << 32) \
             | np.asarray(r_lo)[:k].astype(np.int64)
 

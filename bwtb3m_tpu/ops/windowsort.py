@@ -118,15 +118,24 @@ def _block_filter(sa_full: jnp.ndarray, block_len: int, W: int):
     return jnp.take(sa_full, idx)
 
 
-def block_suffix_order_device(win_dev, block_len: int, sigma: int):
-    """Device-resident variant: returns (lo order, hi order, resolved) with
-    the orders as int32 device arrays and only a scalar fetched — the
-    scaled engine derives BWT/samples on device, so the two [W] suffix
-    orders never cross the relay."""
+def block_suffix_order_async(win_dev, block_len: int, sigma: int):
+    """Dispatch-only variant: returns (lo order, hi order, mismatch
+    count) as DEVICE arrays with no sync — the scaled engine dispatches
+    every block's sort before fetching any flag, so device work and
+    relay round trips overlap across blocks."""
     W = int(win_dev.shape[0])
     lo_sa = _window_order(win_dev, int(sigma), False)
     hi_sa = _window_order(win_dev, int(sigma), True)
     lo_b = _block_filter(lo_sa, int(block_len), W)
     hi_b = _block_filter(hi_sa, int(block_len), W)
-    resolved = bool(int(jnp.sum((lo_b != hi_b).astype(jnp.int32))) == 0)
-    return lo_b, hi_b, resolved
+    mism = jnp.sum((lo_b != hi_b).astype(jnp.int32))
+    return lo_b, hi_b, mism
+
+
+def block_suffix_order_device(win_dev, block_len: int, sigma: int):
+    """Device-resident variant: returns (lo order, hi order, resolved) with
+    the orders as int32 device arrays and only a scalar fetched — the
+    scaled engine derives BWT/samples on device, so the two [W] suffix
+    orders never cross the relay."""
+    lo_b, hi_b, mism = block_suffix_order_async(win_dev, block_len, sigma)
+    return lo_b, hi_b, bool(int(mism) == 0)
