@@ -37,6 +37,8 @@ def _spill_text(symbols: np.ndarray, options: BwtOptions,
     pressure.  Returns (symbols, spill_path or None)."""
     hostmem = getattr(options, "host_mem", None)
     n = len(symbols)
+    if isinstance(symbols, np.memmap):
+        return symbols, None   # already bounded (load_bounded)
     if not hostmem or 2 * n <= hostmem:
         return symbols, None
     path = options.tmp_prefix + "_text.u8"
@@ -52,8 +54,18 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
 
     # ---- phase 1: load input + plan ------------------------------------
     itype = parse_input_type(options.input_type)
+    bounded_spill = None
     with log.span("load input (%s)" % itype.name):
-        symbols, sigma = itype.load(options.input_path)
+        if getattr(options, "host_mem", None):
+            # hostmem=: the text never fully materializes in RAM — packed
+            # formats decode chunk-by-chunk into a read-only memmap, a
+            # bytestream maps the input file directly (the reference's
+            # streaming default; copyinputtomemory is the opt-in,
+            # /root/reference/src/bwtb3m.cpp:54)
+            symbols, sigma, bounded_spill = itype.load_bounded(
+                options.input_path, options.tmp_prefix + "_text.u8")
+        else:
+            symbols, sigma = itype.load(options.input_path)
     n = int(len(symbols))
     if n == 0:
         raise ValueError("empty input text: %s" % options.input_path)
@@ -112,7 +124,27 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
                     table = np.zeros(sigma, np.uint8)
                     table[uniq] = np.arange(len(uniq), dtype=np.uint8)
                     symmap = uniq.astype(np.int64)
-                    symbols = table[syms_np]
+                    if isinstance(symbols, np.memmap):
+                        # bounded mode: rewrite chunk-by-chunk into a
+                        # second memmap (a full fancy-index would stage
+                        # the whole text in RAM)
+                        cpath = options.tmp_prefix + "_text_c.u8"
+                        out = np.memmap(cpath, np.uint8, mode="w+",
+                                        shape=symbols.shape)
+                        for a in range(0, n, 1 << 26):
+                            b = min(n, a + (1 << 26))
+                            out[a:b] = table[symbols[a:b]]
+                        out.flush()
+                        del out
+                        if bounded_spill:
+                            try:
+                                os.remove(bounded_spill)
+                            except OSError:
+                                pass
+                        bounded_spill = cpath
+                        symbols = np.memmap(cpath, np.uint8, mode="r")
+                    else:
+                        symbols = table[syms_np]
                     log.v("alphabet rank-compacted: %d distinct symbols"
                           % len(uniq))
         if options.engine != "merge-legacy" and (sigma <= 256
@@ -135,12 +167,14 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
                         sample_rate=prate, lane_bucket=lb,
                         rows_out=rows_out)
             finally:
-                if spill_path:
-                    symbols = None
-                    try:
-                        os.remove(spill_path)
-                    except OSError:
-                        pass
+                for p in (spill_path, bounded_spill):
+                    if p:
+                        symbols = None
+                        try:
+                            os.remove(p)
+                        except OSError:
+                            pass
+                bounded_spill = None
             # bwt stays uint8 — at 3.2G an int32 copy is 12.8 GB of host
             # RAM for nothing (the codecs and bincount take uint8)
             if symmap is not None:
@@ -245,6 +279,11 @@ def compute_bwt(options: BwtOptions, log: Optional[VerboseLog] = None) -> BwtRes
 
     meta = write_meta()
 
+    if bounded_spill:
+        try:
+            os.remove(bounded_spill)
+        except OSError:
+            pass
     log.v("%s runtime %.3fs" % (mem_usage_string(), rtc.elapsed()))
     return BwtResult(meta)
 

@@ -464,46 +464,144 @@ def _finish_region(ctx: _Ctx, s: int, e: int, disp) -> _RegionS:
     return _RegionS(s, e, bwt, spos, sranks, r0, hist, rows=rows)
 
 
+def _block_sort_fused_fn():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from ..ops.windowsort import _block_filter, _window_order
+    from ..ops.pack import pack_bits_device
+    from ..ops.idx64 import take2d_u32
+    from ..ops.devzip import _row_w
+    from ..ops.focc import _pad_rows
+
+    @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+    def fn(text_rows, s_hi, s_lo, nm1_hi, nm1_lo, first,
+           W: int, block_len: int, sigma: int, rate: int, bits: int):
+        """One block sort as ONE device program: window slice -> both
+        padded window orders -> block filters -> mismatch count ->
+        region derive -> packed region rows.  The axon relay charges
+        ~4-6 s of dispatch/sync overhead per call at 128M-symbol
+        operands (measured, BENCH.md round 5) — seven separate calls
+        made the per-block cost ~50 s while the fused device work is a
+        few seconds.  Requires s % 256 == 0 and s + W <= n (no wrap);
+        the tail block takes the unfused path."""
+        row0 = ((s_hi << jnp.uint32(24))
+                | (s_lo >> jnp.uint32(8))).astype(jnp.int32)
+        nrows_w = W // 256
+        sl = lax.dynamic_slice_in_dim(text_rows, row0, nrows_w, axis=0)
+        if bits == 4:
+            bts = sl.reshape(-1).astype(jnp.int32) & 0xFF
+            arr = jnp.repeat(bts, 2, total_repeat_length=W)
+            pos = lax.broadcasted_iota(jnp.int32, (W,), 0)
+            win = (arr >> ((pos & 1) * 4)) & 0xF
+        else:
+            win = sl.reshape(-1).astype(jnp.int32) & 0xFF
+        lo_sa = _window_order(win, sigma, False)
+        hi_sa = _window_order(win, sigma, True)
+        lo_b = _block_filter(lo_sa, block_len, W)
+        hi_b = _block_filter(hi_sa, block_len, W)
+        mism = jnp.sum((lo_b != hi_b).astype(jnp.int32))
+
+        # region derive (the _region_derive_fn body on lo_b)
+        sa = lo_b.astype(jnp.uint32)
+        pos_lo = s_lo + sa
+        pos_hi = s_hi + (pos_lo < s_lo).astype(jnp.uint32)
+        at_zero = jnp.logical_and(pos_lo == jnp.uint32(0),
+                                  pos_hi == jnp.uint32(0))
+        idx_lo = jnp.where(at_zero, nm1_lo, pos_lo - jnp.uint32(1))
+        idx_hi = jnp.where(
+            at_zero, nm1_hi,
+            pos_hi - (pos_lo == jnp.uint32(0)).astype(jnp.uint32))
+        row = (idx_hi << jnp.uint32(24)) | (idx_lo >> jnp.uint32(8))
+        col = idx_lo & jnp.uint32(255)
+        if bits == 4:
+            byte = take2d_u32(text_rows, row, col >> jnp.uint32(1)).astype(
+                jnp.int32) & 0xFF
+            bwt = (byte >> ((col & jnp.uint32(1)) * 4).astype(
+                jnp.int32)) & 0xF
+        else:
+            bwt = take2d_u32(text_rows, row, col).astype(jnp.int32) & 0xFF
+        pad = (-block_len) % (8 // bits)
+        bwt_p = jnp.concatenate(
+            [bwt, jnp.zeros((pad,), bwt.dtype)]) if pad else bwt
+        packed = pack_bits_device(bwt_p & 0xFF, bits)
+        inv = jnp.zeros(block_len, jnp.int32).at[lo_b].set(
+            lax.broadcasted_iota(jnp.int32, (block_len,), 0))
+        nsamp_max = block_len // rate + 1
+        sidx = (first.astype(jnp.int32) +
+                rate * lax.broadcasted_iota(jnp.int32, (nsamp_max,), 0))
+        samp = jnp.take(inv, jnp.minimum(sidx, block_len - 1))
+
+        # region rows (rows_from_packed body)
+        w = _row_w(bits)
+        nrows = max(1, (block_len + 255) // 256)
+        nrows_pad = _pad_rows(nrows)
+        buf = jnp.zeros((nrows_pad, w), jnp.int8)
+        p8 = lax.bitcast_convert_type(packed, jnp.int8)
+        nbytes = nrows * w
+        if p8.shape[0] < nbytes:
+            p8 = jnp.concatenate(
+                [p8, jnp.zeros(nbytes - p8.shape[0], jnp.int8)])
+        rows = buf.at[:nrows].set(p8[:nbytes].reshape(nrows, w))
+        # samples + r_start + mismatch count in ONE fetched array
+        return rows, jnp.concatenate([samp, inv[:1], mism[None]])
+
+    return fn
+
+
+_block_sort_fused = None
+
+
 def _sort_blocks_pipelined(ctx: _Ctx, blocks) -> List[_RegionS]:
-    """Sort every block with all device dispatches issued before any
-    fetch: JAX dispatch is async, so the per-block resolved-flag and
-    sample fetches (each a relay round trip) overlap the other blocks'
-    device work instead of serializing after it (measured: 4 x 0.58 s
-    sequential -> ~1 s pipelined at 16M/4 blocks).  Blocks whose window
-    sort did not resolve at the base lookahead fall back to the
-    per-block escalation loop."""
+    """Sort every block as ONE fused device program each, all dispatched
+    before any fetch (async), then materialize in order.  A block whose
+    window sort did not resolve at the base lookahead (mismatch count in
+    the fetched tail) escalates to the per-block loop; blocks the fused
+    kernel cannot take (window wraps past n, unaligned tail, device
+    tree off) use the unfused path."""
     import time as _time
-    from ..ops.windowsort import block_suffix_order_async
+    import jax.numpy as jnp
     _t0 = _time.time()
     la = min(1024, min(max(1024, ctx.options.large_lcp_thres), ctx.n))
-    # HBM bound: each in-flight block pins ~5 int32 arrays of its length
-    # (window, two full-window orders, two block orders) ≈ 20 B/symbol
-    budget = int(os.environ.get("BWTB3M_SORT_PIPE_BYTES", 6 * 10 ** 9))
-    maxlen = max(e - s for s, e in blocks)
-    group = max(1, budget // max(1, 20 * maxlen))
+    global _block_sort_fused
+    if _block_sort_fused is None:
+        _block_sort_fused = _block_sort_fused_fn()
+    n = ctx.n
+    disp = {}
+    for i, (s, e) in enumerate(blocks):
+        W = (e - s) + la
+        if (ctx.device_tree and s % 256 == 0 and W % 256 == 0
+                and s + W <= n):
+            disp[i] = _block_sort_fused(
+                ctx.text_rows,
+                jnp.uint32(s >> 32), jnp.uint32(s & 0xFFFFFFFF),
+                jnp.uint32((n - 1) >> 32), jnp.uint32((n - 1) & 0xFFFFFFFF),
+                jnp.uint32((-s) % ctx.rate),
+                int(W), int(e - s), int(ctx.sigma), int(ctx.rate),
+                int(ctx.bits))
+    nfused = len(disp)
     regions: List[_RegionS] = []
     escal = 0
-    for g0 in range(0, len(blocks), group):
-        chunk = blocks[g0 : g0 + group]
-        pend = []
-        for s, e in chunk:
-            W = min((e - s) + la, (e - s) + ctx.n)
-            win = _device_window(ctx, s, W)
-            pend.append(block_suffix_order_async(win, e - s, ctx.sigma))
-        mism = [int(np.asarray(m)) for _lo, _hi, m in pend]
-        disp = {}
-        for i, (s, e) in enumerate(chunk):
-            if mism[i] == 0:
-                disp[i] = _derive_region_dispatch(ctx, s, e, pend[i][0])
-        pend = None
-        for i, (s, e) in enumerate(chunk):
-            if i in disp:
-                regions.append(_finish_region(ctx, s, e, disp.pop(i)))
-            else:
+    from .. import native
+    for i, (s, e) in enumerate(blocks):
+        if i in disp:
+            rows, tail = disp.pop(i)
+            fetched = np.asarray(tail, np.int64)
+            if fetched[-1]:          # window sort unresolved: escalate
                 escal += 1
                 regions.append(_sort_block_scaled(ctx, s, e))
-    ctx.log.v("block sorts: %d blocks pipelined in %.2fs (%d escalated)"
-              % (len(blocks), _time.time() - _t0, escal))
+                continue
+            first = (-s) % ctx.rate
+            spos = np.arange(s + first, e, ctx.rate, dtype=np.int64)
+            hist = native.byte_hist(ctx.text[s:e],
+                                    minlength=ctx.sigma)[:ctx.sigma]
+            regions.append(_RegionS(
+                s, e, None, spos, fetched[: len(spos)],
+                int(fetched[-2]), hist, rows=rows))
+        else:
+            regions.append(_sort_block_scaled(ctx, s, e))
+    ctx.log.v("block sorts: %d blocks (%d fused) in %.2fs (%d escalated)"
+              % (len(blocks), nfused, _time.time() - _t0, escal))
     return regions
 
 

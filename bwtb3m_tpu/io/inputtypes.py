@@ -35,6 +35,23 @@ class InputType:
     def load(path: str) -> Tuple[np.ndarray, int]:
         raise NotImplementedError
 
+    @classmethod
+    def load_bounded(cls, path: str, spill_path: str):
+        """(symbols, sigma, spill_or_None) with bounded peak RSS: the
+        symbols come back as a READ-ONLY uint8 memmap whose pages the
+        kernel reclaims under pressure — the reference's streaming
+        default (copyinputtomemory is opt-in,
+        /root/reference/src/bwtb3m.cpp:54).  Subclasses with packed
+        formats decode chunk-by-chunk straight into the memmap so the
+        load transient is O(chunk), not O(n); this base fallback loads
+        fully once, then spills (types without a chunked decoder)."""
+        symbols, sigma = cls.load(path)
+        if sigma > 256:
+            return symbols, sigma, None
+        np.asarray(symbols, np.uint8).tofile(spill_path)
+        del symbols
+        return np.memmap(spill_path, np.uint8, mode="r"), sigma, spill_path
+
 
 class ByteInput(InputType):
     name = "bytestream"
@@ -42,6 +59,11 @@ class ByteInput(InputType):
     @staticmethod
     def load(path: str) -> Tuple[np.ndarray, int]:
         return np.fromfile(path, dtype=np.uint8), 256
+
+    @classmethod
+    def load_bounded(cls, path: str, spill_path: str):
+        # the file IS the symbol array: zero-copy read-only mapping
+        return np.memmap(path, np.uint8, mode="r"), 256, None
 
 
 class CompactInput(InputType):
@@ -52,6 +74,68 @@ class CompactInput(InputType):
         symbols, bits = compact.read_compact(path)
         return symbols, 1 << bits
 
+    @classmethod
+    def load_bounded(cls, path: str, spill_path: str):
+        with open(path, "rb") as f:
+            bits, n = compact.read_compact_header(f)
+            out = np.memmap(spill_path, np.uint8, mode="w+",
+                            shape=(max(1, n),))
+            CHS = 1 << 26     # symbols per chunk, multiple of 8 so every
+            base = 0          # chunk's payload is byte-aligned
+            while base < n:
+                cnt = min(CHS, n - base)
+                nbytes = (cnt * bits + 7) // 8
+                data = np.frombuffer(f.read(nbytes), np.uint8)
+                out[base : base + cnt] = compact.unpack_bits(
+                    data, bits, cnt).astype(np.uint8)
+                base += cnt
+        out.flush()
+        del out
+        return (np.memmap(spill_path, np.uint8, mode="r"), 1 << bits,
+                spill_path)
+
+
+def _pac_unpack_bounded(path: str, spill_path: str, shift: int,
+                        terminator: bool):
+    """Chunked .pac decode into a uint8 memmap: O(chunk) transient."""
+    size = np.int64(os_path_size(path))
+    with open(path, "rb") as f:
+        f.seek(-1, 2)
+        last = f.read(1)[0]
+        if last > 3:
+            raise ValueError("invalid .pac trailer byte %d in %s"
+                             % (last, path))
+        n = (int(size) - 2) * 4 + last
+        total = n + (1 if terminator else 0)
+        out = np.memmap(spill_path, np.uint8, mode="w+",
+                        shape=(max(1, total),))
+        f.seek(0)
+        CH = 1 << 24                      # payload bytes -> 64 M bases
+        base = 0
+        from .. import native
+        while base < n:
+            take = min(CH, (n - base + 3) // 4)
+            payload = np.frombuffer(f.read(take), np.uint8)
+            cnt = min(4 * len(payload), n - base)
+            bases = native.unpack_pac(payload, cnt, shift)
+            if bases is None:
+                shifts = np.array([6, 4, 2, 0], np.uint8)
+                bases = (((payload[:, None] >> shifts[None, :]) & 3)
+                         .reshape(-1)[:cnt] + np.uint8(shift)).astype(
+                             np.uint8)
+            out[base : base + cnt] = bases
+            base += cnt
+        if terminator:
+            out[n] = PACTERM_TERMINATOR
+    out.flush()
+    del out
+    return np.memmap(spill_path, np.uint8, mode="r"), spill_path
+
+
+def os_path_size(path: str) -> int:
+    import os
+    return os.path.getsize(path)
+
 
 class PacInput(InputType):
     name = "pac"
@@ -59,6 +143,11 @@ class PacInput(InputType):
     @staticmethod
     def load(path: str) -> Tuple[np.ndarray, int]:
         return pac.read_pac(path), 4
+
+    @classmethod
+    def load_bounded(cls, path: str, spill_path: str):
+        symbols, spill = _pac_unpack_bounded(path, spill_path, 0, False)
+        return symbols, 4, spill
 
 
 class PacTermInput(InputType):
@@ -77,6 +166,11 @@ class PacTermInput(InputType):
         shifted = pac.read_pac(path, shift=1)
         return np.concatenate(
             [shifted, np.array([PACTERM_TERMINATOR], np.uint8)]), 5
+
+    @classmethod
+    def load_bounded(cls, path: str, spill_path: str):
+        symbols, spill = _pac_unpack_bounded(path, spill_path, 1, True)
+        return symbols, 5, spill
 
 
 class Lz4Input(InputType):

@@ -10,7 +10,11 @@ The reference's lcpbit is external-memory unbounded
 VERDICT r2 asked to record (next-round item 8).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_plcp.py \
-           [Mbp] [workdir]
+           [Mbp] [workdir] [bytes]
+
+The optional third argument ``bytes`` switches to a sigma=256 byte
+alphabet (uniform random bytes, inputtype=bytestream) — the VERDICT r4
+missing #1 configuration: byte-window Kasai, no nibble packing.
 """
 
 import json
@@ -24,6 +28,7 @@ import numpy as np
 def main():
     mbp = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     work = sys.argv[2] if len(sys.argv) > 2 else "/root/bigbuild"
+    byte_mode = len(sys.argv) > 3 and sys.argv[3] == "bytes"
     os.makedirs(work, exist_ok=True)
     n = mbp * 1000 * 1000
 
@@ -35,34 +40,44 @@ def main():
     from bwtb3m_tpu.util.log import VerboseLog
 
     log = VerboseLog(1)
-    pac = os.path.join(work, "t%dm.pac" % mbp)
-    if not os.path.exists(pac):
-        rng = np.random.default_rng(42)
-        nb = n - 1
-        payload = rng.integers(0, 256, (nb + 3) // 4, dtype=np.uint8)
-        with open(pac, "wb") as f:
-            f.write(payload.tobytes())
-            if nb % 4 == 0:
-                f.write(b"\x00")
-            f.write(bytes([nb % 4]))
-        del payload
+    tag = "t%dm%s" % (mbp, "b" if byte_mode else "")
+    if byte_mode:
+        pac = os.path.join(work, tag + ".bin")
+        itype = "bytestream"
+        if not os.path.exists(pac):
+            rng = np.random.default_rng(42)
+            rng.integers(0, 256, n, dtype=np.uint8).tofile(pac)
+    else:
+        pac = os.path.join(work, tag + ".pac")
+        itype = "pacterm"
+        if not os.path.exists(pac):
+            rng = np.random.default_rng(42)
+            nb = n - 1
+            payload = rng.integers(0, 256, (nb + 3) // 4, dtype=np.uint8)
+            with open(pac, "wb") as f:
+                f.write(payload.tobytes())
+                if nb % 4 == 0:
+                    f.write(b"\x00")
+                f.write(bytes([nb % 4]))
+            del payload
 
-    stats = {"n": n}
-    bwt_path = os.path.join(work, "t%dm.bwt" % mbp)
+    stats = {"n": n, "sigma_mode": "byte256" if byte_mode else "pacterm"}
+    bwt_path = os.path.join(work, tag + ".bwt")
     if not os.path.exists(bwt_path[:-4] + ".meta"):
         t0 = time.time()
         compute_bwt(BwtOptions(
-            input_path=pac, input_type="pacterm", output_filename=bwt_path,
+            input_path=pac, input_type=itype, output_filename=bwt_path,
             engine="merge", bwt_only=True,
             max_block_symbols=128 * 1000 * 1000, verbose=1))
         stats["build_s"] = round(time.time() - t0, 1)
 
-    text, sigma = parse_input_type("pacterm").load(pac)
+    text, sigma = parse_input_type(itype).load(pac)
     dev_budget = int(os.environ.get("BWTB3M_PLCP_DEV_BYTES",
                                     11 * 10 ** 9))
-    use_dev = n * 18 <= dev_budget and os.environ.get(
+    per = 18 if sigma <= 16 else 19
+    use_dev = n * per <= dev_budget and os.environ.get(
         "BWTB3M_PLCP_SLAB") != "1"
-    out = os.path.join(work, "t%dm.lcpbit" % mbp)
+    out = os.path.join(work, tag + ".lcpbit")
     if use_dev:
         # round-4 device-resident pipeline: the rate-1 SA, ISA, Phi and
         # PLCP never leave HBM; only the packed succinct bits download
@@ -146,7 +161,7 @@ def main():
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_logs")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "plcp_%dm.json" % mbp), "w") as f:
+    with open(os.path.join(out_dir, "plcp_%dm%s.json" % (mbp, "b" if byte_mode else "")), "w") as f:
         json.dump(stats, f, indent=1)
     if not stats["verify_ok"]:
         sys.exit(1)
