@@ -252,12 +252,15 @@ _zip_chunk = partial(jax.jit, static_argnums=(0, 1), donate_argnums=(6,))(
 
 
 def _chunk_size(total: int) -> int:
-    """Static chunk length: <= 5 compile variants (x4 spacing bounds the
-    last-chunk overshoot), each a multiple of 256."""
-    for ch in (1 << 16, 1 << 18, 1 << 20, 1 << 22):
+    """Static chunk length: <= 6 compile variants (x4 spacing bounds the
+    last-chunk overshoot), each a multiple of 256.  The top tier keeps
+    the 3.2G root merge at ~50 chunks instead of ~200 — every chunk is
+    a separate dispatch, and the relay charges seconds per dispatch at
+    large operand sizes (BENCH.md round 5)."""
+    for ch in (1 << 16, 1 << 18, 1 << 20, 1 << 22, 1 << 24):
         if total <= ch:
             return ch
-    return 1 << 24
+    return 1 << 26
 
 
 def device_interleave(left_rows, A: int, right_rows, B: int, gap,

@@ -488,8 +488,10 @@ class DeviceGapRunner:
                 saj, afj, atj, self.gap, r, jnp.int32(done),
                 jnp.asarray(idxc))
             if rate:
-                self._samples.append(
-                    (done, np.asarray(samp)[:, : len(starts)], valid))
+                # keep the harvest on device: fetching here would sync
+                # every chunk (one relay round trip per chunk);
+                # harvest_samples materializes them after the last chunk
+                self._samples.append((done, samp, valid))
             done += chunklen
         self.final_rs = np.asarray(r)[: len(starts)].astype(np.int64)
         self._lanes = (starts.copy(), lens.copy(), aligned_abs.copy(),
@@ -510,6 +512,7 @@ class DeviceGapRunner:
         starts, lens, aligned_abs, af, at = self._lanes
         pos_all, val_all = [], []
         for done, samp, valid in self._samples:
+            samp = np.asarray(samp)[:, : len(starts)]
             nsamp, k = samp.shape
             ks = ((aligned_abs % self.sample_rate - done) % self.sample_rate)[
                 None, :] + self.sample_rate * np.arange(nsamp)[:, None] + done

@@ -250,11 +250,10 @@ class WideDeviceGapRunner(DeviceGapRunner):
                 self.consts_hi, self.consts_lo, saj, afj, atj, self.gap,
                 r_hi, r_lo, jnp.int32(done), jnp.asarray(idxc))
             if rate:
-                # reconstruct the two-word rank from its histogram cell
-                # coordinates: r = row * 256 + col (row = hi<<24 | lo>>8)
-                sr = np.asarray(srow, np.int64)[:, : len(starts)]
-                sc = np.asarray(scol, np.int64)[:, : len(starts)]
-                self._samples.append((done, (sr << 8) | sc, valid))
+                # device handles only — fetching here would sync every
+                # chunk; harvest_samples combines rows/cols after the
+                # last chunk
+                self._samples.append((done, (srow, scol), valid))
             done += chunklen
         k = len(starts)
         self.final_rs = (np.asarray(r_hi)[:k].astype(np.int64) << 32) \
@@ -263,6 +262,21 @@ class WideDeviceGapRunner(DeviceGapRunner):
                        af[:k].copy(), at[:k].copy())
 
     # ------------------------------------------------------------ results
+
+    def harvest_samples(self):
+        """Reconstruct the two-word ranks from their histogram cell
+        coordinates (r = row * 256 + col, row = hi<<24 | lo>>8) at
+        materialization time, then reuse the base harvest."""
+        k = len(self._lanes[0]) if self._lanes else 0
+        conv = []
+        for done, sc_pair, valid in self._samples:
+            if isinstance(sc_pair, tuple):
+                sr = np.asarray(sc_pair[0], np.int64)[:, :k]
+                sc = np.asarray(sc_pair[1], np.int64)[:, :k]
+                sc_pair = (sr << 8) | sc
+            conv.append((done, sc_pair, valid))
+        self._samples = conv
+        return super().harvest_samples()
 
     def fetch_gap_compressed(self):
         if self._g8_cache is None:
