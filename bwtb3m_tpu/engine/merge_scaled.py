@@ -710,6 +710,7 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
                       % (lb, len(todo)))
     _mark("anchor")
 
+    plan = None
     if exec_ is not runner:
         # occ-sharded path: same u16-wrap escape as single-device (the
         # local histograms are u16 too)
@@ -730,7 +731,13 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
         total = runner.gap_checksum()
     else:
         runner.run_chains(starts, seeds, lens)
-        total = runner.gap_checksum()
+        if ctx.device_tree and not wide:
+            # fused tail plan: checksum + zip chunk starts + right-side
+            # sample counts in ONE dispatch + ONE fetch (devzip.zip_plan)
+            plan = _plan_finish(ctx, left, right, runner)
+            total = plan[0]
+        else:
+            total = runner.gap_checksum()
         if total != block_len:
             # a u16 histogram cell wrapped (>= 2^16 left suffixes between
             # one right pair — extremely repetitive input): rerun the
@@ -739,7 +746,11 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
             log.v("gap u16 checksum %d != %d: rerunning chains with "
                   "int32 histogram" % (total, block_len))
             runner.run_chains(starts, seeds, lens, force_int32=True)
-            total = runner.gap_checksum()
+            if plan is not None:
+                plan = _plan_finish(ctx, left, right, runner)
+                total = plan[0]
+            else:
+                total = runner.gap_checksum()
     _mark("chains")
     assert total == block_len, (total, block_len)
     # chain self-check: every lane's final R(bounds[j]) must equal the
@@ -759,7 +770,7 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
                                          runner.gap, _mark=_mark)
         else:
             out = _finish_merge_dev(ctx, left, right, runner, runner.gap,
-                                    _mark=_mark)
+                                    plan=plan, _mark=_mark)
         runner.gap = None
     else:
         gap8, ov_idx, ov_val = runner.fetch_gap_compressed()
@@ -771,23 +782,45 @@ def _merge_pair_scaled(ctx: _Ctx, left: _RegionS, right: _RegionS,
     return out
 
 
+def _plan_finish(ctx: _Ctx, left: _RegionS, right: _RegionS, runner):
+    """Fused merge-tail plan (ops/devzip.zip_plan): ONE dispatch + ONE
+    fetch for the checksum, the zip chunk starts, and the right-side
+    sample counts.  Returns (total, row_cum, r_starts, cnt_le)."""
+    from ..ops import devzip
+    gap = runner.gap
+    row_cum = devzip.gap_row_cum_excl(gap)
+    A = left.e - left.s
+    B = right.e - right.s
+    total_out = A + B
+    CH = devzip._chunk_size(total_out)
+    ts = np.arange((total_out + CH - 1) // CH, dtype=np.int64) * CH
+    total, r_starts, cnt_le = devzip.zip_plan(gap, row_cum, B, ts,
+                                             right.samp_rank)
+    return total, row_cum, r_starts, cnt_le
+
+
 def _finish_merge_dev(ctx: _Ctx, left: _RegionS, right: _RegionS, runner,
                       gap, row0: int = 0, cum_base=None, row_cum=None,
-                      _mark=lambda name: None) -> _RegionS:
+                      plan=None, _mark=lambda name: None) -> _RegionS:
     """Device tail of one pair merge: gap-guided interleave of the two
     regions' device rows (ops/devzip.py) and sample updates served by
     batched row gathers over the DEVICE histogram — no gap download, no
     host zip, no re-upload at the next level.  ``row0``/``cum_base``
     address one merge's span of a level-global histogram (batched
-    levels)."""
+    levels); ``plan`` carries the fused zip_plan results (per-pair
+    path) so the tail costs no extra round trips."""
     from ..ops import devzip
+    r_starts = cnt_le = None
+    if plan is not None:
+        _total, row_cum, r_starts, cnt_le = plan
     if row_cum is None:
         row_cum = devzip.gap_row_cum_excl(gap)
     A = left.e - left.s
     B = right.e - right.s
     merged_rows = devzip.device_interleave(
         _region_rows(ctx, left), A, _region_rows(ctx, right), B, gap,
-        row_cum, ctx.bits, row0=row0, cum_base=cum_base)
+        row_cum, ctx.bits, row0=row0, cum_base=cum_base,
+        r_starts=r_starts)
     _mark("zip")
 
     hpos, hval = runner.harvest_samples()
@@ -796,8 +829,10 @@ def _finish_merge_dev(ctx: _Ctx, left: _RegionS, right: _RegionS, runner,
             "chain sample harvest mismatch: %d vs %d positions"
             % (len(hpos), len(left.samp_pos)))
     new_left_rank = left.samp_rank + hval
-    new_right_rank = right.samp_rank + devzip.cnt_le_at_ranks(
-        gap, row_cum, right.samp_rank, row0=row0, cum_base=cum_base)
+    if cnt_le is None:
+        cnt_le = devzip.cnt_le_at_ranks(
+            gap, row_cum, right.samp_rank, row0=row0, cum_base=cum_base)
+    new_right_rank = right.samp_rank + cnt_le
     # left positions all < m <= right positions; both ascending
     pos = np.concatenate([left.samp_pos, right.samp_pos])
     rank = np.concatenate([new_left_rank, new_right_rank])

@@ -252,33 +252,39 @@ _zip_chunk = partial(jax.jit, static_argnums=(0, 1), donate_argnums=(6,))(
 
 
 def _chunk_size(total: int) -> int:
-    """Static chunk length: <= 6 compile variants (x4 spacing bounds the
-    last-chunk overshoot), each a multiple of 256.  The top tier keeps
-    the 3.2G root merge at ~50 chunks instead of ~200 — every chunk is
-    a separate dispatch, and the relay charges seconds per dispatch at
-    large operand sizes (BENCH.md round 5)."""
-    for ch in (1 << 16, 1 << 18, 1 << 20, 1 << 22, 1 << 24):
+    """Static chunk length: <= 5 compile variants (x4 spacing bounds the
+    last-chunk overshoot), each a multiple of 256.  A 2^26 tier was
+    tried to amortize per-chunk dispatch overhead and measured SLOWER
+    (~22 s per 2^26 chunk vs ~0.3 s per 2^24 chunk at the 400M root —
+    the big program's transients spill); 2^24 stays the cap."""
+    for ch in (1 << 16, 1 << 18, 1 << 20, 1 << 22):
         if total <= ch:
             return ch
-    return 1 << 26
+    return 1 << 24
 
 
 def device_interleave(left_rows, A: int, right_rows, B: int, gap,
                       row_cum, bits: int, row0: int = 0,
-                      cum_base=None):
+                      cum_base=None, r_starts=None):
     """Merged region rows from the children's device rows + device gap.
     Returns int8 [nrows_pad, w] covering A+B symbols.  ``row0``/
-    ``cum_base`` address a level-global histogram (batched levels)."""
+    ``cum_base`` address a level-global histogram (batched levels);
+    ``r_starts`` supplies precomputed chunk-start right counts (the
+    fused zip_plan) to skip the binary-search round trip."""
     total = A + B
     CH = _chunk_size(total)
     nchunks = (total + CH - 1) // CH
     ts = np.arange(nchunks, dtype=np.int64) * CH
-    r_starts = count_right_before(gap, row_cum, B, ts, row0=row0,
-                                  cum_base=cum_base)
+    if r_starts is None:
+        r_starts = count_right_before(gap, row_cum, B, ts, row0=row0,
+                                      cum_base=cum_base)
     w = _row_w(bits)
-    # the last chunk may overshoot into pad rows: buffer >= one chunk
-    nrows_pad = _pad_rows(max(CH // BLOCK,
-                              (total + BLOCK - 1) // BLOCK, 1))
+    # buffer must cover every chunk's FULL span: dynamic_update_slice
+    # CLAMPS an out-of-range start, silently relocating the write — a
+    # quarter-octave pad of the symbol rows alone is not chunk-aligned
+    # once CH exceeds the pad granularity (measured corruption from
+    # symbol 2^24 at CH=2^26; BENCH.md round 5)
+    nrows_pad = _pad_rows(max(nchunks * (CH // BLOCK), 1))
     out_rows = jnp.zeros((nrows_pad, w), jnp.int8)
     if cum_base is None:
         cum_base = jnp.uint32(0)
@@ -290,6 +296,40 @@ def device_interleave(left_rows, A: int, right_rows, B: int, gap,
                               jnp.uint32(r0), jnp.uint32(t0 - r0),
                               jnp.uint32(B), jnp.uint32(row0), cum_base)
     return out_rows
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _zip_plan(iters: int, gap, row_cum, row0, cum_base, B, ts, ranks):
+    total = jnp.sum(gap, dtype=jnp.uint32)[None]
+    r_starts = _count_right_before(iters, gap, row_cum, row0, cum_base,
+                                   B, ts)
+    cnt = _cnt_le_at(gap, row_cum, row0, cum_base, ranks)
+    return jnp.concatenate([total, r_starts, cnt])
+
+
+def zip_plan(gap, row_cum, B: int, ts: np.ndarray, ranks: np.ndarray,
+             row0: int = 0, cum_base=None):
+    """The merge tail's host-needed scalars in ONE dispatch + ONE fetch:
+    (checksum total, #right before each chunk start, cnt_le at the
+    right-side sample ranks).  Replaces three separate dispatch+fetch
+    round trips (gap_checksum / count_right_before / cnt_le_at_ranks) —
+    each round trip costs up to seconds through the relay at large
+    operand sizes (BENCH.md round 5)."""
+    Kt = max(16, 1 << (len(ts) - 1).bit_length()) if len(ts) else 16
+    tp = np.zeros(Kt, np.uint32)
+    tp[: len(ts)] = np.asarray(ts, np.uint64).astype(np.uint32)
+    Kr = max(16, 1 << (len(ranks) - 1).bit_length()) if len(ranks) else 16
+    rp = np.zeros(Kr, np.uint32)
+    rp[: len(ranks)] = np.asarray(ranks, np.uint64).astype(np.uint32)
+    if cum_base is None:
+        cum_base = jnp.uint32(0)
+    out = np.asarray(_zip_plan(33, gap, row_cum, jnp.uint32(row0),
+                               cum_base, jnp.uint32(B), jnp.asarray(tp),
+                               jnp.asarray(rp)), np.int64)
+    total = int(np.uint32(out[0]))
+    r_starts = out[1 : 1 + len(ts)]
+    cnt = out[1 + Kt : 1 + Kt + len(ranks)]
+    return total, r_starts, cnt
 
 
 # ------------------------------------------------- wide (hi, lo) variants
@@ -492,8 +532,9 @@ def device_interleave_w(left_rows, A: int, right_rows, B: int, gap,
     r_b = count_right_before_w(gap, row_cum, B, ts)
     r_b[-1] = B                     # all right symbols precede the end
     w = _row_w(bits)
-    nrows_pad = _pad_rows(max(CH // BLOCK,
-                              (total + BLOCK - 1) // BLOCK, 1))
+    # chunk-aligned buffer (see device_interleave: a clamped
+    # dynamic_update_slice start silently relocates the write)
+    nrows_pad = _pad_rows(max(nchunks * (CH // BLOCK), 1))
     out_rows = jnp.zeros((nrows_pad, w), jnp.int8)
     cum_lo = row_cum[1]
     for c in range(nchunks):

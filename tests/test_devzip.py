@@ -138,16 +138,21 @@ def test_engine_device_tree_u16_rerun(monkeypatch, tmp_path):
     host = blockwise_bwt_scaled(text, 4, opts, VerboseLog(0),
                                 sample_rate=128, lane_bucket=32)
     monkeypatch.setenv("BWTB3M_DEVICE_TREE", "1")
-    real_checksum = DeviceGapRunner.gap_checksum
+    # the device-tree per-pair path reads its checksum from the fused
+    # zip_plan (ONE dispatch+fetch); corrupt the first plan's total to
+    # force the int32 rerun
+    from bwtb3m_tpu.ops import devzip as dz
+    real_plan = dz.zip_plan
     calls = {"n": 0}
 
-    def fake_checksum(self):
+    def fake_plan(*a, **kw):
+        total, r_starts, cnt = real_plan(*a, **kw)
         calls["n"] += 1
         if calls["n"] == 1:
-            return real_checksum(self) - 1
-        return real_checksum(self)
+            return total - 1, r_starts, cnt
+        return total, r_starts, cnt
 
-    monkeypatch.setattr(DeviceGapRunner, "gap_checksum", fake_checksum)
+    monkeypatch.setattr(dz, "zip_plan", fake_plan)
     dev = blockwise_bwt_scaled(text, 4, opts, VerboseLog(0),
                                sample_rate=128, lane_bucket=32)
     assert calls["n"] >= 2
@@ -240,3 +245,32 @@ def test_wide_device_interleave_matches_host_route(monkeypatch):
                                 sample_rate=512, lane_bucket=32)
     for d, h in zip(dev, host):
         assert np.array_equal(d, h)
+
+
+@pytest.mark.slow
+def test_interleave_multi_chunk_large_total():
+    """total > one zip chunk (the 2^26 tier): the output buffer must be
+    CHUNK-ALIGNED — dynamic_update_slice CLAMPS an out-of-range start
+    and silently relocates the write (measured corruption from symbol
+    2^24 at the 400M build; bench_logs/build_400m_r5b.log)."""
+    from bwtb3m_tpu.ops.devzip import (_chunk_size, gap_row_cum_excl)
+    from bwtb3m_tpu.ops.gapdev import _pad_pow2
+    rng = np.random.default_rng(0)
+    A, B = 35_000_000, 34_000_000
+    assert A + B > _chunk_size(A + B)          # really multi-chunk
+    gap = rng.multinomial(A, np.ones(B + 1) / (B + 1)).astype(np.uint16)
+    left = rng.integers(0, 4, A, dtype=np.uint8)
+    right = rng.integers(0, 4, B, dtype=np.uint8)
+    cnt_le = np.cumsum(gap.astype(np.int64))
+    out_ref = np.empty(A + B, np.uint8)
+    out_ref[np.arange(B) + cnt_le[:B]] = right
+    out_ref[np.repeat(np.arange(B + 1), gap) + np.arange(A)] = left
+    grows = _pad_pow2((B + 1 + 255) // 256, lo=4)
+    g = np.zeros((grows, 256), np.uint16)
+    g.reshape(-1)[: B + 1] = gap
+    gd = jnp.asarray(g)
+    rc = gap_row_cum_excl(gd)
+    got = rows_to_host_bwt(device_interleave(
+        rows_from_host_bwt(left, 4), A, rows_from_host_bwt(right, 4), B,
+        gd, rc, 4), A + B, 4)
+    assert int((got != out_ref).sum()) == 0
