@@ -468,7 +468,7 @@ def _block_sort_fused_fn():
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from ..ops.windowsort import _block_filter, _window_order
+    from ..ops.windowsort import _block_filter, _window_order_body
     from ..ops.pack import pack_bits_device
     from ..ops.idx64 import take2d_u32
     from ..ops.devzip import _row_w
@@ -496,11 +496,20 @@ def _block_sort_fused_fn():
             win = (arr >> ((pos & 1) * 4)) & 0xF
         else:
             win = sl.reshape(-1).astype(jnp.int32) & 0xFF
-        lo_sa = _window_order(win, sigma, False)
-        hi_sa = _window_order(win, sigma, True)
+        # hi-pad confirmation sort runs only when the lo doubling's
+        # fast-resolution flag is off (see _window_order_body): for
+        # random text the block sort is ONE doubling sort, not two
+        la = W - block_len
+        lo_sa, fast = _window_order_body(win, sigma, False, la)
         lo_b = _block_filter(lo_sa, block_len, W)
-        hi_b = _block_filter(hi_sa, block_len, W)
-        mism = jnp.sum((lo_b != hi_b).astype(jnp.int32))
+
+        def _confirm(_):
+            hi_sa = _window_order_body(win, sigma, True, 0)[0]
+            hi_b = _block_filter(hi_sa, block_len, W)
+            return jnp.sum((lo_b != hi_b).astype(jnp.int32))
+
+        mism = lax.cond(fast, lambda _: jnp.int32(0), _confirm,
+                        operand=None)
 
         # region derive (the _region_derive_fn body on lo_b)
         sa = lo_b.astype(jnp.uint32)
@@ -982,9 +991,27 @@ def _merge_level_batched(ctx: _Ctx, level, stop_file: str, done: int,
     ctx.log.v("batched level: %d merges, device phases %.2fs"
               % (len(pairs), _time.time() - t0))
     row_cum = None
+    handles = {}
     if devtree:
+        from ..ops import devzip
         from ..ops.devzip import gap_row_cum_excl
         row_cum = gap_row_cum_excl(runner.gap)
+        # dispatch EVERY pair's fused tail plan before fetching any (and
+        # before any zip dispatch): on the relay's FIFO stream a plan
+        # fetched after another pair's zip would wait for that zip's
+        # device execution
+        for k, (l, r) in enumerate(pairs):
+            if runner.checksum(k) != l.e - l.s:
+                continue
+            sp = runner.specs[k]
+            B = r.e - r.s
+            total_out = (l.e - l.s) + B
+            CH = devzip._chunk_size(total_out)
+            ts = np.arange((total_out + CH - 1) // CH, dtype=np.int64) * CH
+            row0 = sp.rbase // 256
+            handles[k] = devzip.zip_plan_dispatch(
+                runner.gap, row_cum, B, ts, r.samp_rank,
+                row0=row0, cum_base=row_cum[row0])
     nxt: List[_RegionS] = []
     for k, (l, r) in enumerate(pairs):
         if runner.checksum(k) != l.e - l.s:
@@ -995,11 +1022,16 @@ def _merge_level_batched(ctx: _Ctx, level, stop_file: str, done: int,
                       "int32 rerun" % k)
             nxt.append(_merge_pair_scaled(ctx, l, r))
         elif devtree:
+            from ..ops import devzip
             sp = runner.specs[k]
             row0 = sp.rbase // 256
+            # plan total is the LEVEL-global histogram sum; the per-pair
+            # checksum above (host _row_sums) is the correctness gate
+            _gtotal, r_starts, cnt_le = devzip.zip_plan_fetch(handles[k])
             nxt.append(_finish_merge_dev(
                 ctx, l, r, runner.view(k), runner.gap, row0=row0,
-                cum_base=row_cum[row0], row_cum=row_cum))
+                cum_base=row_cum[row0], row_cum=row_cum,
+                plan=(None, row_cum, r_starts, cnt_le)))
         else:
             view = runner.view(k)
             gap8, ov_idx, ov_val = view.fetch_gap_compressed()

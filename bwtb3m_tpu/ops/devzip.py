@@ -192,10 +192,12 @@ def _unpack_rows(rows_k, bits: int):
     return (arr.astype(jnp.int32) >> ((pos & 1) * 4)) & 0xF
 
 
-def _zip_chunk_impl(CH: int, bits: int, left_rows, right_rows, gap,
+def _zip_chunk_body(CH: int, bits: int, left_rows, right_rows, gap,
                     row_cum, out_rows, t0, r0, j0, B, row0, cum_base):
     """One output chunk [t0, t0+CH) of the merged BWT, written into
-    out_rows in place.  r0 = #right before t0, j0 = t0 - r0."""
+    out_rows in place.  r0 = #right before t0, j0 = t0 - r0.  Plain
+    traceable body — called standalone (_zip_chunk) and per iteration
+    of the fused whole-merge loop (_zip_all)."""
     from .pack import pack_bits_device
     krows = CH // BLOCK + 2
 
@@ -248,7 +250,32 @@ def _zip_chunk_impl(CH: int, bits: int, left_rows, right_rows, gap,
 
 
 _zip_chunk = partial(jax.jit, static_argnums=(0, 1), donate_argnums=(6,))(
-    _zip_chunk_impl)
+    _zip_chunk_body)
+
+
+def _zip_all_impl(CH: int, bits: int, left_rows, right_rows, gap, row_cum,
+                  r_starts, out_rows, nchunks, B, row0, cum_base):
+    """The WHOLE gap-guided interleave as ONE device program: a
+    fori_loop over output chunks (dynamic trip count — one compile per
+    (CH, bits, shapes), not per chunk count).  The per-chunk python
+    loop paid one relay dispatch per 2^24-symbol chunk (~0.3-2 s each
+    through the axon relay); a 3.2 Gbp root merge has 191 chunks, so
+    the dispatch overhead alone dwarfed the on-device work (BENCH.md
+    round 5: root zip+samples 362 s).  r_starts = #right before each
+    chunk start, precomputed on device by zip_plan/_count_right_before."""
+
+    def body(c, orows):
+        t0 = c.astype(jnp.uint32) * jnp.uint32(CH)
+        r0 = jnp.take(r_starts, c)
+        return _zip_chunk_body(CH, bits, left_rows, right_rows, gap,
+                               row_cum, orows, t0, r0, t0 - r0, B, row0,
+                               cum_base)
+
+    return lax.fori_loop(0, nchunks, body, out_rows)
+
+
+_zip_all = partial(jax.jit, static_argnums=(0, 1), donate_argnums=(7,))(
+    _zip_all_impl)
 
 
 def _chunk_size(total: int) -> int:
@@ -270,14 +297,19 @@ def device_interleave(left_rows, A: int, right_rows, B: int, gap,
     Returns int8 [nrows_pad, w] covering A+B symbols.  ``row0``/
     ``cum_base`` address a level-global histogram (batched levels);
     ``r_starts`` supplies precomputed chunk-start right counts (the
-    fused zip_plan) to skip the binary-search round trip."""
+    fused zip_plan; host array or DEVICE u32 array) to skip the
+    binary-search round trip.  The whole interleave runs as ONE
+    dispatch (_zip_all)."""
     total = A + B
     CH = _chunk_size(total)
     nchunks = (total + CH - 1) // CH
-    ts = np.arange(nchunks, dtype=np.int64) * CH
     if r_starts is None:
-        r_starts = count_right_before(gap, row_cum, B, ts, row0=row0,
-                                      cum_base=cum_base)
+        ts = np.arange(nchunks, dtype=np.int64) * CH
+        r_starts = count_right_before_dev(gap, row_cum, B, ts, row0=row0,
+                                          cum_base=cum_base)
+    if isinstance(r_starts, np.ndarray):
+        r_starts = jnp.asarray(
+            np.asarray(r_starts, np.uint64).astype(np.uint32))
     w = _row_w(bits)
     # buffer must cover every chunk's FULL span: dynamic_update_slice
     # CLAMPS an out-of-range start, silently relocating the write — a
@@ -288,14 +320,24 @@ def device_interleave(left_rows, A: int, right_rows, B: int, gap,
     out_rows = jnp.zeros((nrows_pad, w), jnp.int8)
     if cum_base is None:
         cum_base = jnp.uint32(0)
-    for c in range(nchunks):
-        t0 = int(ts[c])
-        r0 = int(r_starts[c])
-        out_rows = _zip_chunk(CH, bits, left_rows, right_rows, gap,
-                              row_cum, out_rows, jnp.uint32(t0),
-                              jnp.uint32(r0), jnp.uint32(t0 - r0),
-                              jnp.uint32(B), jnp.uint32(row0), cum_base)
-    return out_rows
+    return _zip_all(CH, bits, left_rows, right_rows, gap, row_cum,
+                    r_starts, out_rows, jnp.int32(nchunks),
+                    jnp.uint32(B), jnp.uint32(row0), cum_base)
+
+
+def count_right_before_dev(gap, row_cum, B: int, ts: np.ndarray,
+                           row0: int = 0, cum_base=None):
+    """count_right_before that KEEPS the result on device (u32 [Kpad]) —
+    the fused zip consumes it there; no fetch round trip."""
+    if B == 0:
+        return jnp.zeros(max(16, len(ts)), jnp.uint32)
+    K = max(16, 1 << (len(ts) - 1).bit_length()) if len(ts) else 16
+    tp = np.zeros(K, np.uint32)
+    tp[: len(ts)] = np.asarray(ts, np.uint64).astype(np.uint32)
+    if cum_base is None:
+        cum_base = jnp.uint32(0)
+    return _count_right_before(33, gap, row_cum, jnp.uint32(row0),
+                               cum_base, jnp.uint32(B), jnp.asarray(tp))
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -307,14 +349,12 @@ def _zip_plan(iters: int, gap, row_cum, row0, cum_base, B, ts, ranks):
     return jnp.concatenate([total, r_starts, cnt])
 
 
-def zip_plan(gap, row_cum, B: int, ts: np.ndarray, ranks: np.ndarray,
-             row0: int = 0, cum_base=None):
-    """The merge tail's host-needed scalars in ONE dispatch + ONE fetch:
-    (checksum total, #right before each chunk start, cnt_le at the
-    right-side sample ranks).  Replaces three separate dispatch+fetch
-    round trips (gap_checksum / count_right_before / cnt_le_at_ranks) —
-    each round trip costs up to seconds through the relay at large
-    operand sizes (BENCH.md round 5)."""
+def zip_plan_dispatch(gap, row_cum, B: int, ts: np.ndarray,
+                      ranks: np.ndarray, row0: int = 0, cum_base=None):
+    """Dispatch half of zip_plan (no sync): returns an opaque handle.
+    Dispatching every pair's plan before fetching any keeps a batched
+    level's plan fetches from queueing behind another pair's zip
+    programs on the relay's FIFO stream."""
     Kt = max(16, 1 << (len(ts) - 1).bit_length()) if len(ts) else 16
     tp = np.zeros(Kt, np.uint32)
     tp[: len(ts)] = np.asarray(ts, np.uint64).astype(np.uint32)
@@ -323,13 +363,35 @@ def zip_plan(gap, row_cum, B: int, ts: np.ndarray, ranks: np.ndarray,
     rp[: len(ranks)] = np.asarray(ranks, np.uint64).astype(np.uint32)
     if cum_base is None:
         cum_base = jnp.uint32(0)
-    out = np.asarray(_zip_plan(33, gap, row_cum, jnp.uint32(row0),
-                               cum_base, jnp.uint32(B), jnp.asarray(tp),
-                               jnp.asarray(rp)), np.int64)
+    out_dev = _zip_plan(33, gap, row_cum, jnp.uint32(row0),
+                        cum_base, jnp.uint32(B), jnp.asarray(tp),
+                        jnp.asarray(rp))
+    return out_dev, Kt, len(ts), len(ranks)
+
+
+def zip_plan_fetch(handle):
+    """Fetch half of zip_plan: (total, r_starts DEVICE u32, cnt_le)."""
+    out_dev, Kt, nt, nr = handle
+    out = np.asarray(out_dev, np.int64)
     total = int(np.uint32(out[0]))
-    r_starts = out[1 : 1 + len(ts)]
-    cnt = out[1 + Kt : 1 + Kt + len(ranks)]
+    # r_starts returns as the DEVICE u32 slice: the fused zip (_zip_all)
+    # consumes it there; the host copy rides along in the same fetch
+    r_starts = out_dev[1 : 1 + Kt]
+    cnt = out[1 + Kt : 1 + Kt + nr]
     return total, r_starts, cnt
+
+
+def zip_plan(gap, row_cum, B: int, ts: np.ndarray, ranks: np.ndarray,
+             row0: int = 0, cum_base=None):
+    """The merge tail's host-needed scalars in ONE dispatch + ONE fetch:
+    (checksum total, #right before each chunk start, cnt_le at the
+    right-side sample ranks).  Replaces three separate dispatch+fetch
+    round trips (gap_checksum / count_right_before / cnt_le_at_ranks) —
+    each round trip costs up to seconds through the relay at large
+    operand sizes (BENCH.md round 5)."""
+    return zip_plan_fetch(
+        zip_plan_dispatch(gap, row_cum, B, ts, ranks, row0=row0,
+                          cum_base=cum_base))
 
 
 # ------------------------------------------------- wide (hi, lo) variants

@@ -611,12 +611,25 @@ class BatchedGapRunner:
                     outer, self.focc, self.text_rows, self.gt_rows, *jt,
                     self.gap, r, jnp.int32(done), jnp.asarray(idxc))
             if rate:
-                self._samples.append(
-                    (done, np.asarray(samp)[:, : len(kid)], valid))
+                # device handle only: fetching here would sync every
+                # chunk and stall the chain pipeline; all chunks fetch
+                # in ONE round trip below
+                self._samples.append((done, samp, valid))
             done += chunklen
         if D:
             # one reduction for the level (not one per step)
             self.gap = jnp.sum(gap_sh, axis=0, dtype=jnp.int32)
+        if rate and self._samples:
+            devs = [s for _d, s, _v in self._samples]
+            host = np.asarray(devs[0]) if len(devs) == 1 else \
+                np.asarray(jnp.concatenate(devs, axis=0))
+            off = 0
+            conv = []
+            for d0, s, valid in self._samples:
+                ns = s.shape[0]
+                conv.append((d0, host[off : off + ns, : len(kid)], valid))
+                off += ns
+            self._samples = conv
         final = np.asarray(r)[: len(kid)].astype(np.int64)
         self._lane_maps = (kid, starts, lens, aligned_abs,
                            af[: len(kid)], at[: len(kid)])

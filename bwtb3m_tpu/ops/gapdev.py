@@ -437,8 +437,15 @@ class DeviceGapRunner:
         lo_d = self._run_anchor_dev(starts, lbs, 0)
         hi_d = self._run_anchor_dev(starts, lbs, self.gap_size)
         k = len(starts)
-        lo = self._anchor_materialize(lo_d, k)
-        hi = self._anchor_materialize(hi_d, k)
+        if isinstance(lo_d, tuple):   # wide runner: (hi, lo) pairs
+            lo = self._anchor_materialize(lo_d, k)
+            hi = self._anchor_materialize(hi_d, k)
+        else:
+            # both bounds in ONE fetch (one relay round trip, not two)
+            both = np.asarray(jnp.concatenate([lo_d, hi_d]))
+            T = lo_d.shape[0]
+            lo = both[:k].astype(np.int64)
+            hi = both[T : T + k].astype(np.int64)
         return lo, lo == hi
 
     def run_chains(self, starts: np.ndarray, seeds: np.ndarray,
@@ -505,14 +512,36 @@ class DeviceGapRunner:
         # gap_size are never written (sentinel rows drop)
         return int(jnp.sum(self.gap, dtype=jnp.uint32))
 
+    def _materialize_samples(self) -> None:
+        """Fetch every chunk's on-device sample buffer in ONE relay
+        round trip (a per-chunk np.asarray loop pays one round trip per
+        chunk — a 3.2 Gbp root merge has ~16 chunks)."""
+        devs = [s for _d, s, _v in self._samples
+                if not isinstance(s, np.ndarray)]
+        if not devs:
+            return
+        host = np.asarray(devs[0]) if len(devs) == 1 else \
+            np.asarray(jnp.concatenate(devs, axis=0))
+        off = 0
+        out = []
+        for done, s, valid in self._samples:
+            if isinstance(s, np.ndarray):
+                out.append((done, s, valid))
+            else:
+                k = s.shape[0]
+                out.append((done, host[off : off + k], valid))
+                off += k
+        self._samples = out
+
     def harvest_samples(self) -> Tuple[np.ndarray, np.ndarray]:
         """(positions, R values) at sample_rate-aligned positions."""
         if not self.sample_rate:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         starts, lens, aligned_abs, af, at = self._lanes
+        self._materialize_samples()
         pos_all, val_all = [], []
         for done, samp, valid in self._samples:
-            samp = np.asarray(samp)[:, : len(starts)]
+            samp = samp[:, : len(starts)]
             nsamp, k = samp.shape
             ks = ((aligned_abs % self.sample_rate - done) % self.sample_rate)[
                 None, :] + self.sample_rate * np.arange(nsamp)[:, None] + done

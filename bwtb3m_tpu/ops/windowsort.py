@@ -24,11 +24,21 @@ import numpy as np
 from jax import lax
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _window_order(window: jnp.ndarray, sigma: int, pad_high: bool) -> jnp.ndarray:
+def _window_order_body(window: jnp.ndarray, sigma: int, pad_high: bool,
+                       la: int):
     """Order of all window suffixes by non-circular comparison, with
     out-of-window treated as -inf (pad_high=False) or +inf (True).
-    Ties (identical clamped suffixes) break by position."""
+    Ties (identical clamped suffixes) break by position.
+
+    Also returns a FAST-RESOLUTION flag: the doubling finished (all W
+    clamped ranks distinct) with total compared length <= la.  Every
+    block suffix (position < W - la) has more than ``la`` real window
+    symbols, so under that flag every decision between two block
+    suffixes consumed only real text — the order restricted to block
+    positions is certainly the true rotation order and the opposite-pad
+    confirmation sort is unnecessary (it would agree).  For random
+    texts this halves the block-sort work (the dominant phase of a
+    large build, BENCH.md round 5)."""
     W = window.shape[0]
     pos = lax.broadcasted_iota(jnp.int32, (W,), 0)
     # shift symbols to 1..sigma so 0 (pad low) / sigma+1 (pad high) are
@@ -48,16 +58,23 @@ def _window_order(window: jnp.ndarray, sigma: int, pad_high: bool) -> jnp.ndarra
             key = (key << bits) | shifted
         return key
 
-    # two packed words resolve 2w symbols before any doubling round
-    k1_s, k2_s, p_s = lax.sort(
-        (packed_key(0), packed_key(w), pos), num_keys=2, is_stable=True)
-    changed = jnp.logical_or(k1_s[1:] != k1_s[:-1], k2_s[1:] != k2_s[:-1])
+    # three packed words resolve 3w symbols before any doubling round:
+    # at 2w symbols a 128M-suffix DNA window expects thousands of
+    # birthday collisions (C(n,2)/4^20), forcing one full doubling
+    # round to separate a few thousand ties; 3w makes collisions on
+    # random text vanishingly rare, so the while_loop usually runs ZERO
+    # rounds
+    k1_s, k2_s, k3_s, p_s = lax.sort(
+        (packed_key(0), packed_key(w), packed_key(2 * w), pos),
+        num_keys=3, is_stable=True)
+    changed = (k1_s[1:] != k1_s[:-1]) | (k2_s[1:] != k2_s[:-1]) \
+        | (k3_s[1:] != k3_s[:-1])
     neq = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), changed.astype(jnp.int32)])
     r_s = jnp.cumsum(neq, dtype=jnp.int32)
     rank = jnp.zeros(W, dtype=jnp.int32).at[p_s].set(r_s)
     pad_rank = jnp.int32(W + 1 if pad_high else -1)
-    w = min(2 * w, max(W, 1))
+    w = min(3 * w, max(W, 1))
 
     def cond(carry):
         _r, _sa, k, done = carry
@@ -75,11 +92,25 @@ def _window_order(window: jnp.ndarray, sigma: int, pad_high: bool) -> jnp.ndarra
         nr_s = jnp.cumsum(neq, dtype=jnp.int32)
         nrank = jnp.zeros(W, dtype=jnp.int32).at[p_s].set(nr_s)
         done = nr_s[-1] == jnp.int32(W - 1)
+        # k after the body = total compared length of this round (2k)
         return (nrank, p_s, k * 2, done)
 
     done0 = r_s[-1] == jnp.int32(W - 1)
-    _rank, sa, _k, _done = lax.while_loop(cond, body, (rank, p_s, jnp.int32(w), done0))
-    return sa
+    _rank, sa, k_fin, done = lax.while_loop(
+        cond, body, (rank, p_s, jnp.int32(w), done0))
+    fast = jnp.logical_and(done, k_fin <= jnp.int32(la))
+    return sa, fast
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _window_order(window: jnp.ndarray, sigma: int, pad_high: bool) -> jnp.ndarray:
+    return _window_order_body(window, sigma, pad_high, 0)[0]
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _window_order_flag(window: jnp.ndarray, sigma: int, pad_high: bool,
+                       la: int):
+    return _window_order_body(window, sigma, pad_high, la)
 
 
 def block_suffix_order(window: np.ndarray, block_len: int, sigma: int
@@ -118,18 +149,34 @@ def _block_filter(sa_full: jnp.ndarray, block_len: int, W: int):
     return jnp.take(sa_full, idx)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _order_pair(win_dev, block_len: int, sigma: int):
+    """Both-pad confirmation in ONE program: the hi sort runs only when
+    the lo doubling's fast-resolution flag is off (lax.cond skips it at
+    runtime — for random text the block sort is ONE doubling sort, not
+    two).  Returns (lo order, hi order, mismatch count over block
+    positions); hi == lo when the fast flag fired."""
+    W = int(win_dev.shape[0])
+    la = W - block_len
+    lo_sa, fast = _window_order_body(win_dev, int(sigma), False, la)
+    lo_b = _block_filter(lo_sa, int(block_len), W)
+
+    def confirm(_):
+        hi_sa = _window_order_body(win_dev, int(sigma), True, 0)[0]
+        hi_b = _block_filter(hi_sa, int(block_len), W)
+        return hi_b, jnp.sum((lo_b != hi_b).astype(jnp.int32))
+
+    hi_b, mism = lax.cond(
+        fast, lambda _: (lo_b, jnp.int32(0)), confirm, operand=None)
+    return lo_b, hi_b, mism
+
+
 def block_suffix_order_async(win_dev, block_len: int, sigma: int):
     """Dispatch-only variant: returns (lo order, hi order, mismatch
     count) as DEVICE arrays with no sync — the scaled engine dispatches
     every block's sort before fetching any flag, so device work and
     relay round trips overlap across blocks."""
-    W = int(win_dev.shape[0])
-    lo_sa = _window_order(win_dev, int(sigma), False)
-    hi_sa = _window_order(win_dev, int(sigma), True)
-    lo_b = _block_filter(lo_sa, int(block_len), W)
-    hi_b = _block_filter(hi_sa, int(block_len), W)
-    mism = jnp.sum((lo_b != hi_b).astype(jnp.int32))
-    return lo_b, hi_b, mism
+    return _order_pair(win_dev, int(block_len), int(sigma))
 
 
 def block_suffix_order_device(win_dev, block_len: int, sigma: int):
